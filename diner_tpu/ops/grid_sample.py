@@ -1,0 +1,199 @@
+"""Point-wise grid sampling (the framework's hottest primitive).
+
+TPU-native replacement for ``torch.nn.functional.grid_sample`` restricted to
+point queries (grid of shape (N, P, 2)), which is the only way the reference
+uses it on the DINER path:
+
+  - bilinear / border for latent-feature indexing
+    (``src/models/image_encoder.py:97-127``)
+  - nearest / border for depth indexing (``image_encoder.py:129-151``)
+  - nearest / zeros for normal indexing (``image_encoder.py:182-204``)
+  - nearest / *exponential* for depth-std indexing
+    (``image_encoder.py:153-180``, ``src/util/torch_helpers.py:100-160``)
+
+Exponential padding is computed **analytically** instead of materializing the
+(H+2p)×(W+2p) padded canvas the reference builds: the padded value at overhang
+distance d is ``border_value * 2^((d-1)/double_width)`` (d ≥ 1), zero outside
+the padded canvas (``exp_padding_mode="zeros"``). Corner exponents take the
+max of the per-axis exponents, matching the reference's overwrite order in
+``torch_helpers.exponential_padding``.
+
+Layout is channels-last: images are (N, H, W, C); one gathered point pulls a
+contiguous C-vector, which maps well onto TPU lanes.
+
+All functions use ``align_corners=False`` semantics:
+``ix = ((x + 1) * W - 1) / 2``. Nearest rounds half-to-even, matching torch's
+``std::nearbyint`` (and ``jnp.round``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size):
+    """align_corners=False: [-1, 1] → pixel coordinate."""
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def _gather_pixels(img, ix, iy):
+    """Gather img[n, iy, ix, :] for integer index maps.
+
+    img: (N, H, W, C); ix, iy: (N, P) int32 (already in-bounds).
+    Returns (N, P, C).
+    """
+    N, H, W, C = img.shape
+    flat = img.reshape(N, H * W, C)
+    idx = iy * W + ix  # (N, P)
+    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+
+def grid_sample_nearest(img, uv, padding_mode: str = "border"):
+    """Nearest-neighbor point sampling.
+
+    Args:
+      img: (N, H, W, C).
+      uv: (N, P, 2) normalized coords in [-1, 1] ([x, y]).
+      padding_mode: "border" | "zeros".
+
+    Returns:
+      (N, P, C).
+    """
+    N, H, W, C = img.shape
+    x = _unnormalize(uv[..., 0], W)
+    y = _unnormalize(uv[..., 1], H)
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+
+    ix = jnp.round(x).astype(jnp.int32)
+    iy = jnp.round(y).astype(jnp.int32)
+
+    if padding_mode == "zeros":
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        ix = jnp.clip(ix, 0, W - 1)
+        iy = jnp.clip(iy, 0, H - 1)
+        out = _gather_pixels(img, ix, iy)
+        return jnp.where(valid[..., None], out, jnp.zeros_like(out))
+    elif padding_mode == "border":
+        ix = jnp.clip(ix, 0, W - 1)
+        iy = jnp.clip(iy, 0, H - 1)
+        return _gather_pixels(img, ix, iy)
+    else:
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+
+
+def grid_sample_bilinear(img, uv, padding_mode: str = "border"):
+    """Bilinear point sampling (align_corners=False).
+
+    Matches torch semantics: for "border", the *coordinate* is clipped to
+    [0, size-1] before computing corner weights; for "zeros", out-of-bounds
+    corners contribute zero.
+
+    Args:
+      img: (N, H, W, C).
+      uv: (N, P, 2) normalized coords [x, y] in [-1, 1].
+
+    Returns:
+      (N, P, C).
+    """
+    N, H, W, C = img.shape
+    x = _unnormalize(uv[..., 0], W)
+    y = _unnormalize(uv[..., 1], H)
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    def corner(ix, iy, wgt):
+        if padding_mode == "zeros":
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            wgt = jnp.where(valid, wgt, jnp.zeros_like(wgt))
+        ixc = jnp.clip(ix, 0, W - 1)
+        iyc = jnp.clip(iy, 0, H - 1)
+        return _gather_pixels(img, ixc, iyc) * wgt[..., None]
+
+    return (
+        corner(x0i, y0i, wx0 * wy0)
+        + corner(x1i, y0i, wx1 * wy0)
+        + corner(x0i, y1i, wx0 * wy1)
+        + corner(x1i, y1i, wx1 * wy1)
+    )
+
+
+def grid_sample_exponential_nearest(
+    img,
+    uv,
+    pad_size: int = 100,
+    double_width: float = 12.0,
+):
+    """Nearest sampling with analytic exponential border extrapolation.
+
+    Equivalent to the reference's replicate-pad-by-``pad_size`` canvas whose
+    padded ring is multiplied by ``2^(exponent/double_width)`` (exponent =
+    overhang distance − 1, per-axis max in corners), sampled with
+    nearest/zeros on the padded canvas after rescaling the grid by
+    ``size / (size + 2*pad_size)`` (align_corners=False).
+
+    Args:
+      img: (N, H, W, C) — for DINER this is the (N, H, W, 1) depth-std map.
+      uv: (N, P, 2) normalized coords on the *original* canvas.
+
+    Returns:
+      (N, P, C); zero outside the padded canvas.
+    """
+    N, H, W, C = img.shape
+    p = pad_size
+
+    # grid rescale onto the padded canvas, then unnormalize there
+    sx = W / (W + 2 * p)
+    sy = H / (H + 2 * p)
+    x = _unnormalize(uv[..., 0] * sx, W + 2 * p)
+    y = _unnormalize(uv[..., 1] * sy, H + 2 * p)
+
+    jx = jnp.round(x).astype(jnp.int32)  # padded-canvas col
+    jy = jnp.round(y).astype(jnp.int32)  # padded-canvas row
+    valid = (jx >= 0) & (jx < W + 2 * p) & (jy >= 0) & (jy < H + 2 * p)
+
+    # original-canvas indices and overhang distances
+    ox = jx - p
+    oy = jy - p
+    dx = jnp.maximum(jnp.maximum(-ox, ox - (W - 1)), 0)
+    dy = jnp.maximum(jnp.maximum(-oy, oy - (H - 1)), 0)
+    exponent = jnp.maximum(
+        jnp.maximum(dx - 1, 0), jnp.maximum(dy - 1, 0)
+    ).astype(img.dtype)
+    mult = jnp.exp2(exponent / double_width)
+
+    base = _gather_pixels(img, jnp.clip(ox, 0, W - 1), jnp.clip(oy, 0, H - 1))
+    out = base * mult[..., None]
+    return jnp.where(valid[..., None], out, jnp.zeros_like(out))
+
+
+def grid_sample(img, uv, mode: str = "bilinear", padding_mode: str = "border",
+                **exp_kwargs):
+    """Dispatching wrapper mirroring the reference's extended grid_sample."""
+    if padding_mode == "exponential":
+        if mode != "nearest":
+            raise NotImplementedError("exponential padding only with nearest")
+        return grid_sample_exponential_nearest(img, uv, **exp_kwargs)
+    if mode == "bilinear":
+        return grid_sample_bilinear(img, uv, padding_mode)
+    if mode == "nearest":
+        return grid_sample_nearest(img, uv, padding_mode)
+    raise ValueError(f"unsupported mode {mode!r}")
