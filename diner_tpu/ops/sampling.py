@@ -1,0 +1,261 @@
+"""Depth-guided ray sampling (the DINER flagship op), scatter-free.
+
+Parity targets in the reference:
+  - stratified candidate sampling   ``src/models/nerf_renderer.py:39-63``
+  - depth-guided shortlisting       ``nerf_renderer.py:65-284``
+  - uniform fill-up                 ``nerf_renderer.py:367-397``
+
+Design deviations (TPU-idiomatic, numerics preserved):
+  - boolean fancy indexing → masked ``where`` math;
+  - ``argsort(descending)[:k]`` → ``jax.lax.top_k`` (ties among exact-equal
+    nonzero likelihoods are measure-zero; zero-likelihood selections are
+    zeroed out either way);
+  - the fill-up scatter → a closed-form rank-based fill: after ascending
+    sort the empty (zero) slots occupy a prefix, and the reference's
+    ``z = near + sorted_index * step + u * step`` with
+    ``step = (far-near)/n_missing`` is computable per-slot from the iota
+    index, reproducing the reference exactly (including its quirk when
+    negative Gaussian samples shift the zero block);
+  - randomness is passed in as explicit uniform/normal draws so the math is
+    pure and testable against a torch re-statement with injected noise.
+
+The whole sampler runs under ``stop_gradient`` by construction (the reference
+wraps it in ``@torch.no_grad``): callers should treat the returned z values
+as non-differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erf
+
+from diner_tpu.geometry.transforms import (
+    world_to_cam,
+    rotate_to_cam,
+    project_points,
+    uv_to_ndc,
+)
+from diner_tpu.ops.grid_sample import (
+    grid_sample_nearest,
+    grid_sample_exponential_nearest,
+)
+
+SQRT2 = 1.4142135623730951
+
+
+class ViewMaps(NamedTuple):
+    """Per-source-view geometry maps used by the sampler.
+
+    All maps channels-last; shapes:
+      depths:     (SB, NV, H, W, 1)
+      depth_stds: (SB, NV, H, W, 1)
+      normals:    (SB, NV, H, W, 3)
+      poses:      (SB, NV, 4, 4)   world→cam
+      focal:      (SB, NV, 2)
+      c:          (SB, NV, 2)
+      image_wh:   (2,)  [W, H]
+    """
+
+    depths: jax.Array
+    depth_stds: jax.Array
+    normals: jax.Array
+    poses: jax.Array
+    focal: jax.Array
+    c: jax.Array
+    image_wh: jax.Array
+
+
+def stratified_z(rays, n: int, u):
+    """Jittered stratified z sampling in [near, far].
+
+    rays: (SB, NR, 8); u: (SB, NR, n) uniforms in [0, 1).
+    Returns (SB, NR, n).
+    """
+    near = rays[..., 6:7]
+    far = rays[..., 7:8]
+    step = 1.0 / n
+    base = jnp.arange(n, dtype=rays.dtype) * step  # (n,)
+    t = base + u * step  # (SB, NR, n)
+    return near * (1.0 - t) + far * t
+
+
+def _flatten_views(x):
+    """(SB, NV, ...) → (SB*NV, ...)."""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def sample_view_maps(views: ViewMaps, uv_ndc):
+    """Sample depth / std / normal maps at normalized uv.
+
+    uv_ndc: (SB, NV, P, 2). Returns (depth, std, normal) with shapes
+    (SB, NV, P, 1/1/3).
+    """
+    SB, NV, P, _ = uv_ndc.shape
+    uv = uv_ndc.reshape(SB * NV, P, 2)
+    d = grid_sample_nearest(_flatten_views(views.depths), uv, "border")
+    s = grid_sample_exponential_nearest(
+        _flatten_views(views.depth_stds), uv, pad_size=100, double_width=12.0
+    )
+    n = grid_sample_nearest(_flatten_views(views.normals), uv, "zeros")
+    unflat = lambda t: t.reshape(SB, NV, P, t.shape[-1])
+    return unflat(d), unflat(s), unflat(n)
+
+
+def surface_likelihood(
+    rays,
+    views: ViewMaps,
+    z_cand,
+    depth_diff_max: float = 0.05,
+):
+    """Per-candidate surface likelihood from the source-view depth maps.
+
+    Implements the erf-bin surface likelihood gated by the masks
+    {ray·normal ≤ 0, |d_ref − z_cam| < depth_diff_max, σ ≠ 0}, max-fused over
+    views, plus its occlusion-aware variant (transmittance-weighted).
+
+    Args:
+      rays: (SB, NR, 8).
+      views: ViewMaps.
+      z_cand: (SB, NR, K) candidate z values along the rays.
+
+    Returns:
+      (likelihood, opaque_likelihood): both (SB, NR, K).
+    """
+    SB, NR, K = z_cand.shape
+    step_size = (rays[..., 7] - rays[..., 6]) / K  # (SB, NR)
+
+    xyz = rays[..., None, :3] + z_cand[..., None] * rays[..., None, 3:6]
+    xyz = xyz.reshape(SB, NR * K, 3)
+    xyz_cam = world_to_cam(xyz, views.poses)  # (SB, NV, NR*K, 3)
+    dirs_cam = rotate_to_cam(
+        rays[..., 3:6].reshape(SB, NR, 3), views.poses
+    )  # (SB, NV, NR, 3)
+
+    uv = project_points(xyz_cam, views.focal, views.c)
+    uv = uv_to_ndc(uv, views.image_wh)
+    ref_depth, ref_std, ref_normal = sample_view_maps(views, uv)
+    ref_depth = ref_depth[..., 0]  # (SB, NV, NR*K)
+    ref_std = ref_std[..., 0]
+    ref_z = xyz_cam[..., 2]  # (SB, NV, NR*K)
+
+    NV = views.poses.shape[1]
+    point_dirs = jnp.broadcast_to(
+        dirs_cam[:, :, :, None, :], (SB, NV, NR, K, 3)
+    ).reshape(SB, NV, NR * K, 3)
+    cos_ray_normal = jnp.sum(point_dirs * ref_normal, axis=-1)
+
+    step = jnp.broadcast_to(
+        step_size[:, None, :, None], (SB, NV, NR, K)
+    ).reshape(SB, NV, NR * K)
+
+    mask = (ref_std != 0) & (jnp.abs(ref_depth - ref_z) < depth_diff_max) & (
+        cos_ray_normal <= 0
+    )
+    safe_std = jnp.where(ref_std == 0, jnp.ones_like(ref_std), ref_std)
+    upper = erf((ref_z + step / 2 - ref_depth) / (safe_std * SQRT2))
+    lower = erf((ref_z - step / 2 - ref_depth) / (safe_std * SQRT2))
+    lik = jnp.where(mask, 0.5 * jnp.abs(upper - lower), 0.0)
+
+    lik = jnp.max(lik, axis=1).reshape(SB, NR, K)  # max over views
+
+    # occlusion-aware: attenuate by accumulated transmittance
+    trans = jnp.cumprod(1.0 - lik, axis=-1)
+    opaque = lik * jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
+    )
+    return lik, opaque
+
+
+def weighted_mean_std(x, weights, axis=-1, keepdims=True, eps=0.0):
+    """Likelihood-weighted mean/std (reference torch_helpers.py:294-302).
+
+    A zero weight-sum yields mean/std 0 instead of NaN (callers mask those
+    rays out anyway).
+    """
+    wsum = jnp.sum(weights, axis=axis, keepdims=True)
+    safe = jnp.where(wsum == 0, jnp.ones_like(wsum), wsum)
+    wn = weights / safe
+    mean = jnp.sum(x * wn, axis=axis, keepdims=True)
+    std = jnp.sqrt(jnp.sum((x - mean) ** 2 * wn, axis=axis, keepdims=True))
+    valid = wsum != 0
+    mean = jnp.where(valid, mean, 0.0)
+    std = jnp.where(valid, std, 0.0)
+    if not keepdims:
+        mean = jnp.squeeze(mean, axis)
+        std = jnp.squeeze(std, axis)
+    return mean, std
+
+
+def sample_depthguided(
+    rays,
+    views: ViewMaps,
+    n_samples: int,
+    n_candidates: int,
+    u_coarse,
+    gauss_noise=None,
+    n_gaussian: int = 0,
+    depth_diff_max: float = 0.05,
+):
+    """Shortlist candidate z values by surface likelihood.
+
+    Args:
+      rays: (SB, NR, 8).
+      views: ViewMaps.
+      n_samples: number of survivors per ray.
+      n_candidates: number of stratified candidates per ray.
+      u_coarse: (SB, NR, n_candidates) uniforms for the jitter.
+      gauss_noise: (SB, NR, n_gaussian) standard normals (required if
+        n_gaussian > 0).
+      n_gaussian: how many of the survivors to replace by draws from the
+        Gaussian fitted to the occlusion-aware likelihood profile.
+
+    Returns:
+      (SB, NR, n_samples) z values; zero marks an empty slot to be filled by
+      :func:`fill_up_uniform`.
+    """
+    assert n_samples >= n_gaussian
+    z_cand = stratified_z(rays, n_candidates, u_coarse)  # (SB, NR, K)
+    lik, opaque = surface_likelihood(rays, views, z_cand, depth_diff_max)
+
+    top_vals, top_idx = jax.lax.top_k(lik, n_samples)  # (SB, NR, n_samples)
+    z_sel = jnp.take_along_axis(z_cand, top_idx, axis=-1)
+    z_sel = jnp.where(top_vals == 0.0, 0.0, z_sel)
+
+    if n_gaussian > 0:
+        ray_mask = jnp.any(opaque != 0, axis=-1)  # (SB, NR)
+        mean, std = weighted_mean_std(z_cand, opaque, axis=-1, keepdims=True)
+        gauss = gauss_noise * std + mean  # (SB, NR, n_gaussian)
+        gauss = jnp.where(ray_mask[..., None], gauss, 0.0)
+        z_sel = jnp.concatenate([z_sel[..., :-n_gaussian], gauss], axis=-1)
+
+    return jax.lax.stop_gradient(z_sel)
+
+
+def fill_up_uniform(z_samples, rays, u):
+    """Fill empty (zero) sample slots with stratified uniform z, then sort.
+
+    Args:
+      z_samples: (SB, NR, S) with zeros marking empty slots.
+      rays: (SB, NR, 8).
+      u: (SB, NR, S) uniforms in [0, 1).
+
+    Returns:
+      (SB, NR, S) ascending-sorted z.
+    """
+    S = z_samples.shape[-1]
+    near = rays[..., 6:7]
+    far = rays[..., 7:8]
+
+    z_sorted = jnp.sort(z_samples, axis=-1)
+    missing = z_sorted == 0.0
+    n_missing = jnp.sum(missing, axis=-1, keepdims=True).astype(z_samples.dtype)
+    safe_n = jnp.where(n_missing == 0, jnp.ones_like(n_missing), n_missing)
+    step = (far - near) / safe_n  # (SB, NR, 1)
+
+    idx = jnp.arange(S, dtype=z_samples.dtype)  # slot index in sorted order
+    z_fill = near + idx * step + u * step
+    z = jnp.where(missing, z_fill, z_sorted)
+    return jnp.sort(z, axis=-1)
