@@ -1,0 +1,88 @@
+"""SceneContext — the explicit, shardable state the reference hides in
+module buffers.
+
+The reference's ``PixelNeRF.encode`` caches features/poses as non-persistent
+nn.Module buffers (``src/models/pixelnerf.py:27-30, 47-51``;
+``image_encoder.py:92, 214-216``). Here the encoded scene is an explicit
+pytree passed to every render call: that is what makes ``pjit`` sharding,
+donation and multi-chip replication clean.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from diner_tpu.ops.grid_sample import grid_sample_bilinear
+from diner_tpu.ops.sampling import ViewMaps
+
+
+@flax.struct.dataclass
+class SceneContext:
+    """Everything the conditioned field needs about the source views.
+
+    Shapes:
+      latent:      (SB, NV, H_lat, W_lat, C)  pixel-aligned CNN features
+      depths:      (SB, NV, H, W, 1)
+      depth_stds:  (SB, NV, H, W, 1)
+      normals:     (SB, NV, H, W, 3)
+      poses:       (SB, NV, 4, 4)   world→cam extrinsics
+      focal:       (SB, NV, 2)
+      c:           (SB, NV, 2)
+      image_wh:    (2,) [W, H] floats
+      feature_padding: static int — latent-canvas padding in latent px
+    """
+
+    latent: jax.Array
+    depths: jax.Array
+    depth_stds: jax.Array
+    normals: jax.Array
+    poses: jax.Array
+    focal: jax.Array
+    c: jax.Array
+    image_wh: jax.Array
+    feature_padding: int = flax.struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_views(self) -> int:
+        return self.poses.shape[1]
+
+    def view_maps(self) -> ViewMaps:
+        return ViewMaps(
+            depths=self.depths,
+            depth_stds=self.depth_stds,
+            normals=self.normals,
+            poses=self.poses,
+            focal=self.focal,
+            c=self.c,
+            image_wh=self.image_wh,
+        )
+
+
+def index_latent(ctx: SceneContext, uv_ndc):
+    """Pixel-aligned latent lookup with the feature-padding uv rescale.
+
+    The latent canvas covers the *padded* image, so normalized coords on the
+    unpadded image are shrunk by (latent_size − 2·pad) / latent_size before
+    bilinear/border sampling (reference ``image_encoder.py:112-123``).
+
+    Args:
+      uv_ndc: (SB, NV, P, 2) in [-1, 1] on the unpadded image.
+
+    Returns:
+      (SB, NV, P, C).
+    """
+    SB, NV, P, _ = uv_ndc.shape
+    Hl, Wl = ctx.latent.shape[2], ctx.latent.shape[3]
+    scale = jnp.asarray(
+        [
+            (Wl - 2.0 * ctx.feature_padding) / Wl,
+            (Hl - 2.0 * ctx.feature_padding) / Hl,
+        ],
+        dtype=uv_ndc.dtype,
+    )
+    uv = (uv_ndc * scale).reshape(SB * NV, P, 2)
+    latent = ctx.latent.reshape((SB * NV,) + ctx.latent.shape[2:])
+    out = grid_sample_bilinear(latent, uv, "border")
+    return out.reshape(SB, NV, P, -1)
