@@ -1,0 +1,77 @@
+"""Benchmark: DINER training-step throughput (fwd+bwd) on one chip.
+
+Workload mirrors the reference's DTU training configuration
+(``configs/train_dtu.yaml`` + ``src/models/nerf_renderer.py`` defaults):
+512×640 source images, 4 source views, 40 depth-guided samples per ray from
+1000 candidates (15 Gaussian), ResNet34 encoder with 64 px padded-PE ring,
+512-wide ResnetFC, full forward+backward+Adam per step. Rays per step is
+raised from the reference's 128 to 1024 so the measurement is renderer-bound
+rather than encoder-bound; rays/s counts rendered target rays.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``BASELINE_RAYS_PER_SEC`` is this framework's round-1 measurement on a
+single TPU v5e chip (the reference publishes no numbers — BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+
+BASELINE_RAYS_PER_SEC = 546691.0  # round-1 v5e measurement; see BENCH.md
+RAY_BATCH = 1024
+WARMUP = 2
+STEPS = 8
+
+
+def main():
+    from diner_tpu.data.synthetic import make_sphere_scene
+    from diner_tpu.models.pixelnerf import PixelNeRFConfig
+    from diner_tpu.nn.spatial_encoder import SpatialEncoderConfig
+    from diner_tpu.renderer import RendererConfig
+    from diner_tpu.train.diner import (
+        DinerConfig,
+        create_state,
+        make_train_step,
+    )
+
+    cfg = DinerConfig(
+        nerf=PixelNeRFConfig(
+            encoder=SpatialEncoderConfig(backbone="resnet34", num_layers=4,
+                                         image_padding=64, padding_pe=4),
+            d_hidden=512,
+        ),
+        renderer=RendererConfig(n_samples=40, n_depth_candidates=1000,
+                                n_gaussian=15, white_bkgd=False),
+        ray_batch_size=RAY_BATCH,
+        znear=0.8,
+        zfar=2.4,
+    )
+    batch = make_sphere_scene(H=512, W=640, nv=4)
+    model, state = create_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics["total"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics["total"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = RAY_BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "diner_train_rays_per_sec_fwdbwd_512x640_4views",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+from diner_tpu.parallel.sharding import (
+    DATA_AXIS,
+    RAY_AXIS,
+    batch_sharding,
+    constrain_rays,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from diner_tpu.parallel.train import (
+    make_parallel_eval_step,
+    make_parallel_train_step,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "RAY_AXIS",
+    "batch_sharding",
+    "constrain_rays",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "make_parallel_eval_step",
+    "make_parallel_train_step",
+]

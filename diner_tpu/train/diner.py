@@ -127,6 +127,11 @@ def compute_losses(model: PixelNeRF, cfg: DinerConfig, params, batch_stats,
     rays_sel = jnp.take_along_axis(rays, pix_idcs[..., None], axis=1)
     gt = jnp.take_along_axis(target.reshape(SB, H * W, 3),
                              pix_idcs[..., None], axis=1)
+    # under an active ('data','rays') mesh, split the ray axis across chips
+    # (no-op on a single device); XLA propagates this through the renderer
+    from diner_tpu.parallel.sharding import constrain_rays
+    rays_sel = constrain_rays(rays_sel, ("data", "rays"))
+    gt = constrain_rays(gt, ("data", "rays"))
 
     def field_fn(c, xyz, vd):
         return model.apply(variables, c, xyz, vd, method="field")
