@@ -1,0 +1,107 @@
+"""Deformable convolution v2 as bilinear-gather + matmul (TPU-native).
+
+Parity target: reference ``deps/TransMVSNet/models/dcn.py`` — DCNv2 with a
+zero-initialized offset+mask conv feeding ``torchvision.ops.deform_conv2d``
+(a CUDA kernel). Here the sampled taps are gathered with bilinear weights
+(zeros outside) and contracted against the kernel with one big matmul, which
+is exactly the shape the MXU wants: (N·H·W, K·C) × (K·C, O).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.nn.initializers import constant, uniform, zeros
+
+
+def bilinear_sample_pix(img, x, y):
+    """Bilinear sample at unnormalized pixel positions, zeros outside.
+
+    img: (N, H, W, C); x, y: (N, P). Returns (N, P, C).
+    Matches torchvision deform_conv2d's sampler (corner taps fully outside
+    contribute zero).
+    """
+    N, H, W, C = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    flat = img.reshape(N, H * W, C)
+
+    def tap(ix, iy, w):
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        w = jnp.where(valid, w, 0.0)
+        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1) * w[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    return (tap(x0i, y0i, (1 - wx1) * (1 - wy1))
+            + tap(x0i + 1, y0i, wx1 * (1 - wy1))
+            + tap(x0i, y0i + 1, (1 - wx1) * wy1)
+            + tap(x0i + 1, y0i + 1, wx1 * wy1))
+
+
+class DeformConv2d(nn.Module):
+    """DCNv2: learned per-tap offsets + sigmoid modulation masks.
+
+    Input (N, H, W, C) → (N, H, W, features); 3×3, stride 1, padding 1
+    (the only configuration the reference uses).
+    """
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, H, W, C = x.shape
+        k = self.kernel
+        K = k * k
+        pad = k // 2
+
+        # offset+mask conv, zero-initialized (reference init_offset)
+        om = nn.Conv(3 * K, (k, k), padding=[(pad, pad)] * 2,
+                     kernel_init=zeros, bias_init=constant(0.0),
+                     dtype=self.dtype, name="conv_offset_mask")(x)
+        # torchvision layout: offset channels interleave (dy, dx) per tap;
+        # the reference builds offset = cat(chunk1, chunk2) of its conv, so
+        # tap k reads channels (2k, 2k+1) of that concatenation
+        offset = om[..., : 2 * K]
+        off_y = offset[..., 0::2]     # (N, H, W, K)
+        off_x = offset[..., 1::2]
+        mask = nn.sigmoid(om[..., 2 * K:])  # (N, H, W, K)
+
+        # base sampling positions per tap
+        gy = jnp.arange(H, dtype=x.dtype)[:, None]
+        gx = jnp.arange(W, dtype=x.dtype)[None, :]
+        taps = []
+        t = 0
+        for dy in range(-pad, pad + 1):
+            for dx in range(-pad, pad + 1):
+                sy = gy + dy + off_y[..., t]  # (N, H, W)
+                sx = gx + dx + off_x[..., t]
+                s = bilinear_sample_pix(x, sx.reshape(N, -1),
+                                        sy.reshape(N, -1))
+                s = s.reshape(N, H, W, C) * mask[..., t:t + 1]
+                taps.append(s)
+                t += 1
+        gathered = jnp.concatenate(taps, axis=-1)  # (N, H, W, K*C)
+
+        # torch DCNv2 init: uniform(-stdv, stdv), stdv = 1/sqrt(C*K)
+        stdv = float(1.0 / (C * K) ** 0.5)
+
+        def _uniform_sym(key, shape, dtype=self.dtype):
+            import jax
+            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+        kernel = self.param("kernel", _uniform_sym, (K * C, self.features))
+        out = gathered @ kernel
+        if self.use_bias:
+            bias = self.param("bias", constant(0.0), (self.features,),
+                              self.dtype)
+            out = out + bias
+        return out

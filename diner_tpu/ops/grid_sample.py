@@ -31,8 +31,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _unnormalize(coord, size):
-    """align_corners=False: [-1, 1] → pixel coordinate."""
+def _unnormalize(coord, size, align_corners: bool = False):
+    """[-1, 1] → pixel coordinate (torch conventions)."""
+    if align_corners:
+        return (coord + 1.0) / 2.0 * (size - 1)
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
@@ -84,8 +86,9 @@ def grid_sample_nearest(img, uv, padding_mode: str = "border"):
         raise ValueError(f"unsupported padding_mode {padding_mode!r}")
 
 
-def grid_sample_bilinear(img, uv, padding_mode: str = "border"):
-    """Bilinear point sampling (align_corners=False).
+def grid_sample_bilinear(img, uv, padding_mode: str = "border",
+                         align_corners: bool = False):
+    """Bilinear point sampling.
 
     Matches torch semantics: for "border", the *coordinate* is clipped to
     [0, size-1] before computing corner weights; for "zeros", out-of-bounds
@@ -99,8 +102,8 @@ def grid_sample_bilinear(img, uv, padding_mode: str = "border"):
       (N, P, C).
     """
     N, H, W, C = img.shape
-    x = _unnormalize(uv[..., 0], W)
-    y = _unnormalize(uv[..., 1], H)
+    x = _unnormalize(uv[..., 0], W, align_corners)
+    y = _unnormalize(uv[..., 1], H, align_corners)
 
     if padding_mode == "border":
         x = jnp.clip(x, 0.0, W - 1)

@@ -15,15 +15,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=64)
-def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
-    """(n_out, n_in) align_corners=True linear interpolation matrix."""
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool = True
+                   ) -> np.ndarray:
+    """(n_out, n_in) linear interpolation matrix (torch semantics)."""
     A = np.zeros((n_out, n_in), dtype=np.float32)
-    if n_out == 1:
+    if n_out == 1 and align_corners:
         A[0, 0] = 1.0
         return A
-    scale = (n_in - 1) / (n_out - 1)
-    src = np.arange(n_out) * scale
+    if align_corners:
+        scale = (n_in - 1) / (n_out - 1)
+        src = np.arange(n_out) * scale
+    else:
+        scale = n_in / n_out
+        src = np.clip((np.arange(n_out) + 0.5) * scale - 0.5, 0, n_in - 1)
     lo = np.clip(np.floor(src).astype(int), 0, n_in - 1)
     hi = np.clip(lo + 1, 0, n_in - 1)
     w_hi = src - lo
@@ -33,12 +38,46 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def resize_bilinear_align_corners(x, out_h: int, out_w: int):
-    """Resize (..., H, W, C) → (..., out_h, out_w, C)."""
+    """Resize (..., H, W, C) → (..., out_h, out_w, C), align_corners=True."""
+    return resize_linear_2d(x, out_h, out_w, align_corners=True)
+
+
+def resize_linear_2d(x, out_h: int, out_w: int, align_corners: bool = False):
+    """torch F.interpolate(mode='bilinear') on the (-3, -2) axes of
+    channels-last input, as two small matmuls (MXU-friendly)."""
     H, W = x.shape[-3], x.shape[-2]
     if (H, W) == (out_h, out_w):
         return x
-    Ah = jnp.asarray(_interp_matrix(H, out_h))
-    Aw = jnp.asarray(_interp_matrix(W, out_w))
+    Ah = jnp.asarray(_interp_matrix(H, out_h, align_corners))
+    Aw = jnp.asarray(_interp_matrix(W, out_w, align_corners))
     x = jnp.einsum("oh,...hwc->...owc", Ah, x, precision="highest")
     x = jnp.einsum("ow,...hwc->...hoc", Aw, x, precision="highest")
     return x
+
+
+def resize_linear_axis(x, out_n: int, axis: int, align_corners: bool = False):
+    """1-D linear resize along `axis` (building block for trilinear)."""
+    n_in = x.shape[axis]
+    if n_in == out_n:
+        return x
+    A = jnp.asarray(_interp_matrix(n_in, out_n, align_corners))
+    x = jnp.moveaxis(x, axis, -1)
+    x = jnp.einsum("on,...n->...o", A, x, precision="highest")
+    return jnp.moveaxis(x, -1, axis)
+
+
+def resize_trilinear(x, out_d: int, out_h: int, out_w: int,
+                     align_corners: bool = False):
+    """torch F.interpolate(mode='trilinear') on (-4, -3, -2) of
+    channels-last (..., D, H, W, C) input."""
+    x = resize_linear_axis(x, out_d, -4, align_corners)
+    x = resize_linear_axis(x, out_h, -3, align_corners)
+    x = resize_linear_axis(x, out_w, -2, align_corners)
+    return x
+
+
+def resize_nearest_2x(x):
+    """torch F.interpolate(scale_factor=2, mode='nearest') on channels-last
+    (..., H, W, C)."""
+    x = jnp.repeat(x, 2, axis=-3)
+    return jnp.repeat(x, 2, axis=-2)

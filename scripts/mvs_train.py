@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""TransMVSNet driver (train / write_prediction).
+
+Mirrors the reference ``deps/TransMVSNet/train.py`` CLI surface:
+
+    python scripts/mvs_train.py --mode train --trainpath data/DTU \
+        --trainlist lists/train.txt --ndepths 48,32,8 --epochs 16
+    python scripts/mvs_train.py --mode write_prediction --ckpt <dir> \
+        --trainpath data/DTU --trainlist lists/all.txt --outpath data/DTU
+
+write_prediction emits the uint16 ``depth_map_XXXX_TransMVSNet(.png|_conf|_vis)``
+protocol DINER's data layer consumes.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "val", "write_prediction"])
+    ap.add_argument("--trainpath", required=True)
+    ap.add_argument("--trainlist", required=True)
+    ap.add_argument("--vallist", default=None)
+    ap.add_argument("--ndepths", default="48,32,8")
+    ap.add_argument("--depth_inter_r", default="4,2,1")
+    ap.add_argument("--numdepth", type=int, default=192)
+    ap.add_argument("--interval_scale", type=float, default=1.06)
+    ap.add_argument("--nviews", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--logdir", default="outputs/mvs")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--outpath", default=None)
+    ap.add_argument("--maskoutput", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=-1)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from diner_tpu.data.loader import DataLoader
+    from diner_tpu.mvs.datasets import MVSDTUDataset
+    from diner_tpu.mvs.model import TransMVSNetConfig
+    from diner_tpu.mvs.train import (
+        MVSTrainConfig,
+        create_mvs_state,
+        make_mvs_train_step,
+        write_prediction,
+    )
+    from diner_tpu.train import checkpoint as ckpt_lib
+
+    ndepths = tuple(int(x) for x in args.ndepths.split(","))
+    ratios = tuple(float(x) for x in args.depth_inter_r.split(","))
+    cfg = MVSTrainConfig(
+        model=TransMVSNetConfig(ndepths=ndepths,
+                                depth_intervals_ratio=ratios),
+        lr=args.lr)
+
+    dataset = MVSDTUDataset(args.trainpath, args.trainlist,
+                            "train" if args.mode == "train" else "val",
+                            nviews=args.nviews, ndepths=args.numdepth,
+                            interval_scale=args.interval_scale)
+
+    def to_batch(sample_or_batch):
+        import jax.numpy as jnp
+        out = {}
+        for k, v in sample_or_batch.items():
+            if isinstance(v, dict):
+                out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            elif isinstance(v, np.ndarray):
+                out[k] = jnp.asarray(v)
+        return out
+
+    example = to_batch(next(iter(DataLoader(dataset, args.batch_size,
+                                            num_workers=0))))
+    model, state, tx = create_mvs_state(cfg, jax.random.PRNGKey(0), example)
+    ckpt_dir = Path(args.logdir) / "checkpoints"
+    if args.ckpt:
+        state = ckpt_lib.restore_checkpoint(args.ckpt, state)
+    elif (latest := ckpt_lib.latest_checkpoint(ckpt_dir)):
+        state = ckpt_lib.restore_checkpoint(latest, state)
+
+    if args.mode == "write_prediction":
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        out = write_prediction(model, variables, dataset,
+                               args.outpath or args.trainpath,
+                               mask_output=args.maskoutput)
+        print(f"wrote {len(out)} depth maps")
+        return
+
+    step_fn = jax.jit(make_mvs_train_step(model, cfg, tx))
+    loader = DataLoader(dataset, args.batch_size, shuffle=True,
+                        num_workers=2)
+    step = int(state["step"])
+    for epoch in range(args.epochs):
+        for batch in loader:
+            if 0 <= args.max_steps <= step:
+                break
+            t0 = time.time()
+            state, metrics = step_fn(state, to_batch(batch))
+            step = int(state["step"])
+            if step % 50 == 0:
+                print(f"epoch {epoch} step {step} "
+                      f"loss {float(metrics['loss']):.4f} "
+                      f"({time.time() - t0:.2f}s/it)")
+        ckpt_lib.save_checkpoint(ckpt_dir, state, step=int(state["step"]))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
