@@ -295,11 +295,14 @@ class MultifaceDataset:
 
         sample = self[scan_idx]
         src_pose = np.linalg.inv(sample["src_extrinsics"])
+        # the reference closes the loop through views 0 and 2; guard for
+        # configurations with fewer than 3 source views
+        j = min(2, len(src_pose) - 1)
         rots = Rotation.from_matrix(
             np.concatenate([src_pose[:, :3, :3], src_pose[[0], :3, :3],
-                            src_pose[[2], :3, :3]], axis=0))
+                            src_pose[[j], :3, :3]], axis=0))
         centers = np.concatenate([src_pose[:, :3, 3], src_pose[[0], :3, 3],
-                                  src_pose[[2], :3, 3]], axis=0)
+                                  src_pose[[j], :3, 3]], axis=0)
         times = np.linspace(0, 1, len(centers))
         slerp = Slerp(times, rots, centers)
         t = np.linspace(0, 1, nframes + 1)[:-1]

@@ -100,10 +100,12 @@ def _write_multiface_fixture(tmp_path, H=64, W=64):
     split = {
         "train": {"subjects": [subj], "sequences": [seq],
                   "ref_centers": [[0, 90, 100], [630, 90, 360],
-                                  [0, 90, 1900], [-630, 90, 360]]},
+                                  [0, 90, 1900], [-630, 90, 360],
+                                  [880, 90, 820], [-880, 90, 820]]},
         "val": {"subjects": [subj], "sequences": [seq],
                 "ref_centers": [[0, 90, 100], [630, 90, 360],
-                                [0, 90, 1900], [-630, 90, 360]]},
+                                [0, 90, 1900], [-630, 90, 360],
+                                [880, 90, 820], [-880, 90, 820]]},
     }
     split_path = tmp_path / "split.json"
     split_path.write_text(json.dumps(split))
