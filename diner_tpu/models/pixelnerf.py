@@ -51,6 +51,8 @@ class PixelNeRFConfig:
     d_hidden: int = 512
     combine_layer: int = 3
     mlp_beta: float = 0.0
+    # activation/matmul dtype ("float32" | "bfloat16"); params stay f32
+    compute_dtype: str = "float32"
 
     @property
     def poscode(self) -> PositionalEncoding:
@@ -76,7 +78,11 @@ class PixelNeRF(nn.Module):
     ``method='field'`` to query radiance at world points."""
 
     cfg: PixelNeRFConfig = PixelNeRFConfig()
-    dtype: Any = jnp.float32
+
+    @property
+    def dtype(self):
+        return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+                else jnp.float32)
 
     def setup(self):
         self.encoder = SpatialEncoder(cfg=self.cfg.encoder, dtype=self.dtype)
@@ -158,6 +164,7 @@ class PixelNeRF(nn.Module):
         mlp_in = jnp.concatenate([latent, z_feature, depth_feature], axis=-1)
         out = self.mlp(mlp_in)                          # (SB, B, 4)
 
+        out = out.astype(jnp.float32)  # composite/losses stay f32
         rgb = jax.nn.sigmoid(out[..., :3])
         sigma = jax.nn.relu(out[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1)

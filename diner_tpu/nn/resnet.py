@@ -33,9 +33,10 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # BN statistics stay in f32 even under bf16 compute
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name)
+            dtype=jnp.float32, name=name)
         y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
@@ -76,7 +77,7 @@ class ResNetEncoder(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
 
         latents = [x]

@@ -88,7 +88,8 @@ def _flatten_views(x):
 
 
 def sample_view_maps(views: ViewMaps, uv_ndc):
-    """Sample depth / std / normal maps at normalized uv.
+    """Sample depth / std / normal maps at normalized uv (reference path:
+    three separate grid_sample calls; kept for parity testing).
 
     uv_ndc: (SB, NV, P, 2). Returns (depth, std, normal) with shapes
     (SB, NV, P, 1/1/3).
@@ -102,6 +103,52 @@ def sample_view_maps(views: ViewMaps, uv_ndc):
     n = grid_sample_nearest(_flatten_views(views.normals), uv, "zeros")
     unflat = lambda t: t.reshape(SB, NV, P, t.shape[-1])
     return unflat(d), unflat(s), unflat(n)
+
+
+def sample_view_maps_fused(views: ViewMaps, uv_ndc, pad_size: int = 100,
+                           double_width: float = 12.0):
+    """One-gather equivalent of :func:`sample_view_maps`.
+
+    The three per-point lookups (depth nearest/border, std
+    nearest/exponential, normal nearest/zeros) hit the *same* texel: the
+    exponential path's padded-canvas unnormalization is exactly the
+    unpadded one shifted by the integer pad, so ``round`` picks the same
+    pixel. Packing [depth, std, normal] into one (.., H, W, 5) map turns
+    3 narrow gathers into 1, and the exponential border growth /
+    zeros-outside masks become elementwise math on the rounded indices.
+    Cuts the dominant sampler cost (gathers) ~3×.
+    """
+    SB, NV, P, _ = uv_ndc.shape
+    H, W = views.depths.shape[2], views.depths.shape[3]
+    packed = jnp.concatenate(
+        [views.depths, views.depth_stds, views.normals], axis=-1
+    ).reshape(SB * NV, H, W, 5)
+    uv = uv_ndc.reshape(SB * NV, P, 2)
+
+    # unpadded nearest indices (align_corners=False)
+    ix = jnp.round(((uv[..., 0] + 1.0) * W - 1.0) / 2.0).astype(jnp.int32)
+    iy = jnp.round(((uv[..., 1] + 1.0) * H - 1.0) / 2.0).astype(jnp.int32)
+    cx = jnp.clip(ix, 0, W - 1)
+    cy = jnp.clip(iy, 0, H - 1)
+    flat = packed.reshape(SB * NV, H * W, 5)
+    g = jnp.take_along_axis(flat, (cy * W + cx)[..., None], axis=1)
+
+    inside = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    # exponential-std factor: 2^((overhang-1)/double_width), zero outside
+    # the pad_size-padded canvas
+    dx = jnp.maximum(jnp.maximum(-ix, ix - (W - 1)), 0)
+    dy = jnp.maximum(jnp.maximum(-iy, iy - (H - 1)), 0)
+    exponent = jnp.maximum(jnp.maximum(dx - 1, 0),
+                           jnp.maximum(dy - 1, 0)).astype(g.dtype)
+    in_padded = (dx <= pad_size) & (dy <= pad_size)
+    std_mult = jnp.where(in_padded, jnp.exp2(exponent / double_width), 0.0)
+
+    depth = g[..., 0:1]
+    std = g[..., 1:2] * std_mult[..., None]
+    normal = jnp.where(inside[..., None], g[..., 2:5], 0.0)
+
+    unflat = lambda t: t.reshape(SB, NV, P, t.shape[-1])
+    return unflat(depth), unflat(std), unflat(normal)
 
 
 def surface_likelihood(
@@ -136,7 +183,7 @@ def surface_likelihood(
 
     uv = project_points(xyz_cam, views.focal, views.c)
     uv = uv_to_ndc(uv, views.image_wh)
-    ref_depth, ref_std, ref_normal = sample_view_maps(views, uv)
+    ref_depth, ref_std, ref_normal = sample_view_maps_fused(views, uv)
     ref_depth = ref_depth[..., 0]  # (SB, NV, NR*K)
     ref_std = ref_std[..., 0]
     ref_z = xyz_cam[..., 2]  # (SB, NV, NR*K)
