@@ -76,6 +76,43 @@ def resize_trilinear(x, out_d: int, out_h: int, out_w: int,
     return x
 
 
+@functools.lru_cache(maxsize=64)
+def _cubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bicubic (Keys a=-0.75) interpolation matrix,
+    align_corners=True, border-replicated taps (torch semantics)."""
+    a = -0.75
+
+    def w(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    A = np.zeros((n_out, n_in), dtype=np.float32)
+    scale = (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+    for i in range(n_out):
+        src = i * scale
+        base = int(np.floor(src))
+        for tap in range(base - 1, base + 3):
+            A[i, min(max(tap, 0), n_in - 1)] += w(src - tap)
+    return A
+
+
+def resize_bicubic_align_corners(x, out_h: int, out_w: int):
+    """torch F.interpolate(mode='bicubic', align_corners=True) on
+    channels-last (..., H, W, C) — two small matmuls."""
+    H, W = x.shape[-3], x.shape[-2]
+    if (H, W) == (out_h, out_w):
+        return x
+    Ah = jnp.asarray(_cubic_matrix(H, out_h))
+    Aw = jnp.asarray(_cubic_matrix(W, out_w))
+    x = jnp.einsum("oh,...hwc->...owc", Ah, x, precision="highest")
+    x = jnp.einsum("ow,...hwc->...hoc", Aw, x, precision="highest")
+    return x
+
+
 def resize_nearest_2x(x):
     """torch F.interpolate(scale_factor=2, mode='nearest') on channels-last
     (..., H, W, C)."""

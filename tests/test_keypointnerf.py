@@ -1,0 +1,227 @@
+"""KeypointNeRF tests: pure-function parity vs torch re-statements
+(importance sampling, compositing, ray-bbox clipping, keypoint encoding),
+IBR head properties, and an end-to-end render + train-step smoke."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from diner_tpu.models.keypointnerf.model import (
+    KeypointNeRF,
+    KeypointNeRFConfig,
+    importance_sample,
+    ray_bbox_intersection,
+    rgba2out,
+)
+from diner_tpu.models.keypointnerf.modules import (
+    IBRRenderingHead,
+    keypoint_position_embedding,
+    rel_z_decay_encoding,
+)
+from diner_tpu.models.keypointnerf.train import (
+    KeypointNeRFTrainConfig,
+    create_keypointnerf_state,
+    make_keypointnerf_train_step,
+    training_patch_grid,
+)
+
+
+def test_rgba2out_matches_reference():
+    rng = np.random.RandomState(0)
+    B, R, S = 2, 5, 9
+    rgba = rng.rand(B, R, S, 5).astype(np.float32)
+    z = np.sort(rng.rand(B, R, S).astype(np.float32) * 2 + 1, axis=-1)
+
+    color, depth, acc, contrib, sdf = rgba2out(jnp.asarray(rgba),
+                                               jnp.asarray(z))
+
+    rt = torch.from_numpy(rgba)
+    zt = torch.from_numpy(z)
+    alpha = rt[..., 0]
+    sdf_t = rt[..., 1]
+    rgb = rt[..., 2:]
+    dist = torch.cat([zt[..., 1:] - zt[..., :-1],
+                      1e10 * torch.ones_like(zt[..., :1])], -1)
+    ctb = 1.0 - torch.exp(-alpha * dist)
+    ctb = ctb * torch.cumprod(torch.cat(
+        [torch.ones_like(ctb[..., :1]), 1 - ctb[..., :-1]], -1), -1)
+    color_ref = (rgb * ctb[..., None]).sum(-2)
+    acc_ref = ctb.sum(-1)
+    sdf_ref = (sdf_t * ctb).sum(-1) / (acc_ref + 1e-8)
+    depth_ref = (zt * ctb).sum(-1) / (acc_ref + 1e-8)
+
+    np.testing.assert_allclose(np.asarray(color), color_ref.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), depth_ref.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc), acc_ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(contrib), ctb.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sdf), sdf_ref.numpy(), atol=1e-5)
+
+
+def test_importance_sample_matches_reference_uniform():
+    rng = np.random.RandomState(1)
+    B, R, D = 1, 4, 16
+    contrib = rng.rand(B, R, D - 2).astype(np.float32)
+    z = np.sort(rng.rand(B, R, D - 1).astype(np.float32), axis=-1)
+    n = 8
+
+    ours = np.asarray(importance_sample(
+        jnp.asarray(contrib), jnp.asarray(z), n, jax.random.PRNGKey(0),
+        uniform=True))
+
+    ct = torch.from_numpy(contrib) + 1e-5
+    pdf = ct / ct.sum(-1, keepdim=True)
+    cdf = torch.cumsum(pdf, -1)
+    cdf = torch.cat([torch.zeros_like(cdf[:, :, :1]), cdf], 2)
+    sample = torch.linspace(0.0, 1.0, steps=n)[None, None].expand(
+        *cdf.shape[:-1], -1)
+    idx = torch.searchsorted(cdf, sample.contiguous(), right=True)
+    idx_prev = (idx - 1).clamp(min=0)
+    idx = idx.clamp(max=cdf.shape[-1] - 1)
+    zt = torch.from_numpy(z)
+    cdf_prev = torch.gather(cdf, -1, idx_prev)
+    cdf_next = torch.gather(cdf, -1, idx)
+    z_prev = torch.gather(zt, -1, idx_prev.clamp(max=zt.shape[-1] - 1))
+    z_next = torch.gather(zt, -1, idx.clamp(max=zt.shape[-1] - 1))
+    den = cdf_next - cdf_prev
+    den = torch.where(den < 1e-5, torch.ones_like(den), den)
+    ref = z_prev + (sample - cdf_prev) / den * (z_next - z_prev)
+
+    np.testing.assert_allclose(ours, ref.numpy(), atol=1e-5)
+
+
+def test_ray_bbox_intersection():
+    bounds = jnp.asarray([[[-1.0, -1, 1], [1, 1, 3]]])  # box z in [1, 3]
+    orig = jnp.zeros((1, 1, 3))
+    dirs = jnp.asarray([[[0.0, 0, 1],      # through the box
+                         [0.0, 0, -1],     # away from it
+                         [1.0, 0, 0]]])    # parallel, misses
+    near, far, hit = ray_bbox_intersection(bounds, orig, dirs)
+    hit = np.asarray(hit)[0, :, 0]
+    # reference quirk: a ray pointing AWAY still counts as a hit (the line
+    # intersects; distances are |t|), so [0,0,-1] hits too
+    assert hit.tolist() == [True, True, False]
+    np.testing.assert_allclose(np.asarray(near)[0, :2, 0], 1.0 - 0.01,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(far)[0, :2, 0], 3.0 + 0.01,
+                               atol=1e-5)
+    # miss rays keep the fill value 1.0
+    np.testing.assert_allclose(np.asarray(near)[0, 2, 0], 1.0)
+
+
+def test_rel_z_decay_matches_reference():
+    rng = np.random.RandomState(2)
+    BV, N, K, L = 2, 10, 5, 3
+    cxyz = rng.randn(BV, N, 3).astype(np.float32)
+    kpt = rng.randn(BV, K, 3).astype(np.float32)
+    scale, sigma = 1.0, 0.05
+
+    ours = np.asarray(rel_z_decay_encoding(
+        jnp.asarray(cxyz), jnp.asarray(kpt), L, scale, sigma))
+
+    # torch re-statement (spatial_encoder.py:108-117 + 24-47)
+    c = torch.from_numpy(cxyz)
+    k = torch.from_numpy(kpt)
+    dz = scale * (c[:, :, None, 2:3] - k[:, None, :, 2:3])
+    dxyz = c[:, :, None] - k[:, None]
+    w = torch.exp(-(dxyz ** 2).sum(-1, keepdim=True) / (2 * sigma ** 2))
+    w = w.view(*w.shape[:2], -1)
+    x = dz.view(*dz.shape[:2], -1)
+    vec = torch.from_numpy(
+        (np.pi * 2.0 ** np.arange(L)).astype(np.float32))
+    y = x[:, :, None, :] * vec[None, None, :, None]
+    z = torch.cat((torch.sin(y), torch.cos(y)), axis=-1).reshape(
+        BV, N, -1)
+    pe = torch.cat([x, z], -1)
+    ref = (pe.view(*pe.shape[:2], -1, w.shape[-1]) * w[:, :, None]
+           ).reshape(BV, N, -1)
+    np.testing.assert_allclose(ours, ref.numpy(), atol=1e-5)
+    assert ours.shape == (BV, N, (1 + 2 * L) * K)
+
+
+def test_ibr_head_blends_source_colors():
+    rng = np.random.RandomState(3)
+    R, S, V, F = 6, 4, 3, 35
+    rgb_feats = rng.rand(R, S, V, F).astype(np.float32)
+    ray_diffs = rng.randn(R, S, V, 4).astype(np.float32) * 0.1
+    mask = np.ones((R, S, V, 1), np.float32)
+    head = IBRRenderingHead(in_channels=32)
+    variables = head.init(jax.random.PRNGKey(0), jnp.asarray(rgb_feats),
+                          jnp.asarray(ray_diffs), jnp.asarray(mask))
+    out = np.asarray(head.apply(variables, jnp.asarray(rgb_feats),
+                                jnp.asarray(ray_diffs), jnp.asarray(mask)))
+    assert out.shape == (R, S, 3)
+    # softmax blending keeps colors inside the source-color hull
+    src = rgb_feats[..., :3]
+    assert (out >= src.min(axis=2) - 1e-5).all()
+    assert (out <= src.max(axis=2) + 1e-5).all()
+
+
+def _toy_batch(B=1, V=2, H=32, W=32, K=8, seed=0):
+    rng = np.random.RandomState(seed)
+    b = {
+        "src_rgbs": rng.rand(B, V, H, W, 3).astype(np.float32),
+        "src_alphas": np.ones((B, V, H, W, 1), np.float32),
+        "src_extrinsics": np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1)),
+        "src_intrinsics": np.tile(
+            np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                     np.float32), (B, V, 1, 1)),
+        "target_extrinsics": np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)),
+        "target_intrinsics": np.tile(
+            np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                     np.float32), (B, 1, 1)),
+        "target_rgb": rng.rand(B, H, W, 3).astype(np.float32),
+        "target_mask": np.ones((B, H, W), np.float32),
+        "target_kpt3d": (rng.rand(B, K, 3).astype(np.float32) * 0.4
+                         + [0, 0, 1.5]),
+        "bounds": np.stack([np.full((B, 3), -0.5, np.float32)
+                            + [0, 0, 1.5],
+                            np.full((B, 3), 0.5, np.float32) + [0, 0, 1.5]],
+                           axis=1),
+    }
+    for v in range(V):
+        b["src_extrinsics"][:, v, 0, 3] = 0.05 * v
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def _tiny_cfg():
+    return KeypointNeRFTrainConfig(
+        model=KeypointNeRFConfig(
+            n_kpt=8, geo_out_ch=16, geo_n_downsample=2, tex_ngf=8,
+            tex_n_blocks=1, mlp_dims1=(0, 32, 32, 24, 16),
+            mlp_dims2=(32, 16, 16, 2), skip_dims=(16, 8),
+            skip_layers=(0, 2), gcompress_in=32, gcompress_out=8,
+            ibr_in_channels=16,  # = tex_out_ch + gcompress_out
+            train_out_h=8, train_out_w=8, sample_per_ray_c=8,
+            sample_per_ray_f=8, znear=0.8, zfar=2.4),
+        lambda_vgg=0.0)
+
+
+def test_keypointnerf_train_step_smoke():
+    batch = _toy_batch()
+    cfg = _tiny_cfg()
+    model, state, tx = create_keypointnerf_state(
+        cfg, jax.random.PRNGKey(0), batch)
+    step_fn = jax.jit(make_keypointnerf_train_step(model, cfg, tx))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        losses.append(float(metrics["e_all"]))
+    assert np.isfinite(losses).all()
+    assert int(state["step"]) == 3
+    assert {"e_pix_c", "e_pix_l1", "e_all"} <= set(metrics)
+
+
+def test_training_patch_grid_inside_mask_region():
+    mask = np.zeros((1, 32, 32), np.float32)
+    mask[:, 10:20, 12:22] = 1.0
+    grid = np.asarray(training_patch_grid(jnp.asarray(mask), 8, 8,
+                                          jax.random.PRNGKey(0)))
+    assert grid.shape == (1, 64, 2)
+    assert (grid >= 0).all() and (grid <= 31).all()
+    cx, cy = np.median(grid[0, :, 0]), np.median(grid[0, :, 1])
+    assert 8 <= cx <= 24 and 6 <= cy <= 22
