@@ -156,6 +156,7 @@ def surface_likelihood(
     views: ViewMaps,
     z_cand,
     depth_diff_max: float = 0.05,
+    deform_fn=None,
 ):
     """Per-candidate surface likelihood from the source-view depth maps.
 
@@ -176,6 +177,8 @@ def surface_likelihood(
 
     xyz = rays[..., None, :3] + z_cand[..., None] * rays[..., None, 3:6]
     xyz = xyz.reshape(SB, NR * K, 3)
+    if deform_fn is not None:  # NOVEL: target→observation mesh deformation
+        xyz = deform_fn(xyz)
     xyz_cam = world_to_cam(xyz, views.poses)  # (SB, NV, NR*K, 3)
     dirs_cam = rotate_to_cam(
         rays[..., 3:6].reshape(SB, NR, 3), views.poses
@@ -245,6 +248,7 @@ def sample_depthguided(
     gauss_noise=None,
     n_gaussian: int = 0,
     depth_diff_max: float = 0.05,
+    deform_fn=None,
 ):
     """Shortlist candidate z values by surface likelihood.
 
@@ -265,7 +269,8 @@ def sample_depthguided(
     """
     assert n_samples >= n_gaussian
     z_cand = stratified_z(rays, n_candidates, u_coarse)  # (SB, NR, K)
-    lik, opaque = surface_likelihood(rays, views, z_cand, depth_diff_max)
+    lik, opaque = surface_likelihood(rays, views, z_cand, depth_diff_max,
+                                     deform_fn)
 
     top_vals, top_idx = jax.lax.top_k(lik, n_samples)  # (SB, NR, n_samples)
     z_sel = jnp.take_along_axis(z_cand, top_idx, axis=-1)
