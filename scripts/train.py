@@ -47,8 +47,9 @@ def main():
         from diner_tpu.models.keypointnerf.train import fit_keypointnerf
         fit_keypointnerf(run_cfg, max_steps=args.max_steps)
     else:
-        raise NotImplementedError(
-            f"{args.model} training arrives with the NOVEL variant port")
+        from diner_tpu.models.novel.train import fit_novel
+        fit_novel(run_cfg, max_steps=args.max_steps,
+                  use_pe=(args.model == "NOVEL_PE"))
 
 
 if __name__ == "__main__":
