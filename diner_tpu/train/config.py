@@ -51,6 +51,19 @@ def _build_multiface(stage: str, model: str = "DINER", **kwargs):
     return MultifaceDataset(stage=stage, model=model, **kwargs)
 
 
+@register_dataset("facescape_novel", "src.data.facescape_novel.FacescapeDataSet")
+def _build_facescape_novel(stage: str, model: str = "NOVEL", **kwargs):
+    from diner_tpu.data.facescape_novel import FacescapeNovelDataset
+    return FacescapeNovelDataset(stage=stage, model=model, **kwargs)
+
+
+@register_dataset("facescape_regressor",
+                  "src.data.facescape_regressor.FacescapeDataSet")
+def _build_facescape_regressor(stage: str, **kwargs):
+    from diner_tpu.data.facescape_regressor import FacescapeRegressorDataset
+    return FacescapeRegressorDataset(stage=stage, **kwargs)
+
+
 @register_dataset("synthetic_sphere")
 def _build_synth(stage: str, **kwargs):
     from diner_tpu.data.synthetic_dataset import SphereDataset
