@@ -300,3 +300,38 @@ def fit_keypointnerf(run_cfg, max_steps: Optional[int] = None):
             step = int(state["step"])
             if step % 50 == 0:
                 print(f"step {step} e_all {float(losses['e_all']):.4f}")
+
+
+def get_360_cameras(headpose: np.ndarray, focal: float, trans: float,
+                    sc_factor: float, im_w: int, im_h: int,
+                    n_frames: int = 90):
+    """360-degree orbit cameras around a head pose
+    (keypointnerf_util.py:23-73). Returns a list of dicts with w2cs / c2ws /
+    intrinsics per frame."""
+    from scipy.spatial.transform import Rotation
+
+    T_i = np.eye(4, dtype=np.float32)
+    T_i[:3, :3] = headpose[:3, :3].T
+    T_i[:3, 3] = -headpose[:3, :3].T @ headpose[:3, 3]
+
+    K4 = np.eye(4, dtype=np.float32)
+    K4[:3, :3] = np.array([[focal, 0, im_w / 2], [0, focal, im_h / 2],
+                           [0, 0, 1]], np.float32)
+    dR1 = Rotation.from_rotvec([np.pi, 0, 0]).as_matrix()
+
+    cams = []
+    for idx in range(n_frames):
+        theta = 2.0 * np.pi * idx / n_frames
+        dR2 = Rotation.from_rotvec([0, theta, 0]).as_matrix()
+        E = np.eye(4, dtype=np.float32)
+        E[:3, :3] = (dR1 @ dR2).astype(np.float32)
+        E[:3, 3] = [0, 0, trans]
+        extr = (E @ T_i).astype(np.float32)
+        extr[:3, 3] *= sc_factor
+        cams.append({
+            "w2cs": extr,
+            "c2ws": np.linalg.inv(extr).astype(np.float32),
+            "intrinsics": K4,
+            "im_w": im_w, "im_h": im_h,
+        })
+    return cams

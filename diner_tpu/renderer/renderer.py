@@ -34,6 +34,9 @@ class RendererConfig:
     # rays per chunk for full-image rendering; bounds peak memory like the
     # reference's eval_batch_size=100000 point chunks (nerf_renderer.py:28)
     ray_chunk: int = 4096
+    # "xla" (default) or "pallas" (fused single-pass kernel with custom VJP;
+    # numerically identical — see ops/pallas/composite_pallas.py)
+    composite_impl: str = "xla"
 
 
 class RenderOutput(NamedTuple):
@@ -84,8 +87,13 @@ def render_rays(
                    viewdirs.reshape(SB, NR * K, 3))
     out = out.reshape(SB, NR, K, 4)
 
-    comp = composite(out[..., :3], out[..., 3], z, rays,
-                     white_bkgd=cfg.white_bkgd)
+    if cfg.composite_impl == "pallas":
+        from diner_tpu.ops.pallas.composite_pallas import composite_pallas
+        comp = composite_pallas(out[..., :3], out[..., 3], z, rays,
+                                white_bkgd=cfg.white_bkgd)
+    else:
+        comp = composite(out[..., :3], out[..., 3], z, rays,
+                         white_bkgd=cfg.white_bkgd)
     return RenderOutput(
         rgb=comp.rgb, depth=comp.depth,
         weights=comp.weights if want_weights else None)
