@@ -55,7 +55,9 @@ class DinerState:
 def create_state(cfg: DinerConfig, rng, example_batch,
                  vgg_params=None) -> Tuple[PixelNeRF, DinerState]:
     model = PixelNeRF(cfg=cfg.nerf)
-    variables = model.init(
+    # jit the init: one compiled program instead of hundreds of eager ops
+    # (op-by-op dispatch is very slow on remote-compile TPU relays)
+    variables = jax.jit(model.init)(
         rng,
         example_batch["src_rgbs"], example_batch["src_depths"],
         example_batch["src_depth_stds"], example_batch["src_extrinsics"],
