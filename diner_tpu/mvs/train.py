@@ -107,6 +107,7 @@ def write_prediction(model: TransMVSNet, variables, dataset, outpath,
                      depth_scale: float = DTU_DEPTH_UNSCALE,
                      mask_output: bool = False,
                      out_suffix: str = "TransMVSNet",
+                     facescape_triptych: bool = False,
                      batch_eval_fn=None):
     """Run inference and write uint16 depth/conf/vis PNGs next to the GT
     protocol (reference train.py:152-208).
@@ -140,6 +141,23 @@ def write_prediction(model: TransMVSNet, variables, dataset, outpath,
         stem = ".".join(s["dpath"].split(".")[:-1])
         dst = outpath / (stem + f"_{out_suffix}.png")
         os.makedirs(dst.parent, exist_ok=True)
+        if facescape_triptych:
+            # facescape protocol (train.py:183-202): paste confidence next
+            # to the existing [gt | pred] image -> *_gt_pred_conf.png
+            from PIL import Image
+            gt_path = outpath / (stem + f"_{out_suffix}.png")
+            if gt_path.exists():
+                gt_img = Image.open(gt_path)
+                conf_q = np.clip(conf / 1e-4, 0, 65535).astype(np.uint16)
+                conf_img = Image.fromarray(conf_q)
+                trip = Image.new("I", (gt_img.width + conf_img.width,
+                                       conf_img.height))
+                trip.paste(gt_img, (0, 0))
+                trip.paste(conf_img, (gt_img.width, 0))
+                trip.save(outpath / (stem + "_gt_pred_conf.png"))
+                os.remove(gt_path)
+                written.append(str(outpath / (stem + "_gt_pred_conf.png")))
+                continue
         write_depth_png(dst, depth)
         write_depth_png(outpath / (stem + f"_{out_suffix}_conf.png"), conf)
         nz = depth[depth != 0]

@@ -225,3 +225,30 @@ def test_training_patch_grid_inside_mask_region():
     assert (grid >= 0).all() and (grid <= 31).all()
     cx, cy = np.median(grid[0, :, 0]), np.median(grid[0, :, 1])
     assert 8 <= cx <= 24 and 6 <= cy <= 22
+
+
+def test_pix_loss_matches_reference():
+    from diner_tpu.models.keypointnerf.losses import pix_loss
+
+    rng = np.random.RandomState(5)
+    src = rng.rand(2, 8, 8, 3).astype(np.float32)
+    tar = rng.rand(2, 8, 8, 3).astype(np.float32)
+    w = {"l1": 1.0, "l2": 0.5, "lp": 0.3, "l1top25": 2.0}
+    ours = pix_loss(jnp.asarray(src), jnp.asarray(tar), w)
+
+    s = torch.from_numpy(src)
+    t = torch.from_numpy(tar)
+    np.testing.assert_allclose(float(ours["l1"]),
+                               float((s - t).abs().mean()), rtol=1e-5)
+    np.testing.assert_allclose(float(ours["l2"]),
+                               0.5 * float((s - t).pow(2).mean()), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(ours["lp"]),
+        0.3 * float(((s - t).abs() + 1e-4).pow(0.4).mean()), rtol=1e-5)
+    # top-25%: channel-sum per pixel, top fraction mean (reference applies
+    # the weight inside the sum before sorting; equal up to scaling)
+    loss = 2.0 * (s - t).abs().sum(-1).view(2, -1)
+    loss = torch.sort(loss, dim=-1, descending=True)[0]
+    loss = loss[:, : int(loss.shape[1] * 0.25)]
+    np.testing.assert_allclose(float(ours["l1top25"]), float(loss.mean()),
+                               rtol=1e-5)
