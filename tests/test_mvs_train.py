@@ -169,3 +169,55 @@ def test_mvs_train_step_and_write_prediction(tmp_path):
         tmp_path / "Depths/scan1/depth_map_0000_TransMVSNet_conf.png")
     assert (c >= 0).all() and (c <= 1.0 + 1e-3).all()
     assert (tmp_path / "Depths/scan1/depth_map_0000_TransMVSNet_vis.png").exists()
+
+
+def test_facescape_mvs_dataset(tmp_path):
+    import json
+    from diner_tpu.mvs.facescape_dataset import (
+        MVSFacescapeDataset,
+        build_facescape_mvs_metas,
+    )
+
+    # fixture: one scan, two views with RGBA + depth + cameras
+    root = tmp_path / "facescape"
+    scan = root / "s01" / "f01"
+    H = W = 32
+    rng = np.random.RandomState(0)
+    cams = {}
+    for vid in ("1", "2"):
+        vdir = scan / f"view_{int(vid):05d}"
+        vdir.mkdir(parents=True)
+        rgba = (rng.rand(H, W, 4) * 255).astype(np.uint8)
+        rgba[..., 3] = 255
+        Image.fromarray(rgba).save(vdir / "rgba_colorcalib_v2.png")
+        depth = (rng.rand(H, W) * 2 * 1e4).astype(np.uint16)
+        Image.fromarray(depth).save(vdir / "depth.png")
+        cams[vid] = {"extrinsics": np.hstack([np.eye(3),
+                                              [[0], [0], [float(vid)]]]
+                                             ).tolist(),
+                     "intrinsics": [[50.0, 0, 16], [0, 50.0, 16],
+                                    [0, 0, 1]]}
+    (scan / "cameras.json").write_text(json.dumps(cams))
+
+    split = tmp_path / "splits"
+    split.mkdir()
+    metas = [{"scan_path": "s01/f01", "targets": ["1"],
+              "l_refs": ["1"], "r_refs": ["2"],
+              "l_refs_val": ["1"], "r_refs_val": ["2"]}]
+    (split / "train_metas_binocular.txt").write_text(json.dumps(metas))
+    (split / "val_metas_binocular.txt").write_text(json.dumps(metas))
+
+    ms = build_facescape_mvs_metas(split, "write_prediction")
+    assert len(ms) == 2  # each eye once as reference
+
+    ds = MVSFacescapeDataset(root, "write_prediction", nviews=2,
+                             ndepths=48, split_dir=split)
+    s = ds[0]
+    assert s["imgs"].shape == (2, H, W, 3)
+    assert s["depth"]["stage3"].shape == (H, W)
+    assert s["depth_values"].shape == (48,)
+    np.testing.assert_allclose(s["depth_values"][0], 1.0)
+    np.testing.assert_allclose(s["depth_values"][-1], 2.5)
+    np.testing.assert_allclose(
+        s["proj_matrices"]["stage3"][:, 1, 0, 0],
+        4 * s["proj_matrices"]["stage1"][:, 1, 0, 0])
