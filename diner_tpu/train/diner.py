@@ -53,18 +53,50 @@ class DinerState:
 
 
 def create_state(cfg: DinerConfig, rng, example_batch,
-                 vgg_params=None) -> Tuple[PixelNeRF, DinerState]:
+                 vgg_params=None, max_init_tries: int = 8
+                 ) -> Tuple[PixelNeRF, DinerState]:
     model = PixelNeRF(cfg=cfg.nerf)
+    b = example_batch
+    SB = b["src_rgbs"].shape[0]
+    H, W = b["target_rgb"].shape[1:3] if "target_rgb" in b \
+        else b["src_rgbs"].shape[2:4]
+
+    # probe points along real target rays: used to reject "dead" inits where
+    # the relu density head is negative everywhere (then relu∘relu kills all
+    # gradients and training collapses to the background — the reference has
+    # the same failure mode; rerolling the seed is a framework-level guard
+    # that leaves healthy-init training byte-identical)
+    znear = jnp.full((SB,), cfg.znear)
+    zfar = jnp.full((SB,), cfg.zfar)
+    rays = gen_rays(b["target_extrinsics"], b["target_intrinsics"], W, H,
+                    znear, zfar).reshape(SB, H * W, 8)
+    rays = rays[:, :: max(H * W // 64, 1)][:, :64]
+    t = jnp.linspace(0.05, 0.95, 8)
+    probe_xyz = (rays[:, :, None, :3]
+                 + (rays[:, :, None, 6:7] * (1 - t[:, None])
+                    + rays[:, :, None, 7:8] * t[:, None])
+                 * rays[:, :, None, 3:6]).reshape(SB, -1, 3)
+    probe_dirs = jnp.broadcast_to(rays[:, :, None, 3:6],
+                                  rays.shape[:2] + (8, 3)).reshape(SB, -1, 3)
+
     # jit the init: one compiled program instead of hundreds of eager ops
     # (op-by-op dispatch is very slow on remote-compile TPU relays)
-    variables = jax.jit(model.init)(
-        rng,
-        example_batch["src_rgbs"], example_batch["src_depths"],
-        example_batch["src_depth_stds"], example_batch["src_extrinsics"],
-        example_batch["src_intrinsics"],
-        jnp.zeros((example_batch["src_rgbs"].shape[0], 8, 3)),
-        jnp.zeros((example_batch["src_rgbs"].shape[0], 8, 3)),
-    )
+    @jax.jit
+    def init_and_probe(key):
+        variables = model.init(
+            key, b["src_rgbs"], b["src_depths"], b["src_depth_stds"],
+            b["src_extrinsics"], b["src_intrinsics"], probe_xyz, probe_dirs)
+        out, _ = model.apply(variables, b["src_rgbs"], b["src_depths"],
+                             b["src_depth_stds"], b["src_extrinsics"],
+                             b["src_intrinsics"], probe_xyz, probe_dirs,
+                             mutable=["batch_stats"])
+        return variables, jnp.mean((out[..., 3] > 0).astype(jnp.float32))
+
+    variables = None
+    for i in range(max_init_tries):
+        variables, alive = init_and_probe(jax.random.fold_in(rng, i))
+        if float(alive) > 0.01:
+            break
     tx = optax.adam(cfg.lr)
     state = DinerState(
         params=variables["params"],
