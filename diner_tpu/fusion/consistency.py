@@ -127,3 +127,70 @@ def filter_and_fuse(depths: Sequence[np.ndarray],
     colors = (np.concatenate(all_colors) if images is not None and all_colors
               else None)
     return pts, colors, masks
+
+
+def check_geometric_consistency_dynamic(depth_ref, K_ref, E_ref, depth_src,
+                                        K_src, E_src, levels=range(2, 11)):
+    """Dynamic-threshold consistency (dynamic_fusion.py:117-141): per level
+    i, dist < i/4 px and relative depth error < i/1300. Returns (masks per
+    level, loosest mask, reprojected depth zeroed outside the loosest
+    mask)."""
+    H, W = depth_ref.shape
+    x_ref, y_ref = np.meshgrid(np.arange(W), np.arange(H))
+    depth_rep, x_rep, y_rep, _, _ = reproject_with_depth(
+        depth_ref, K_ref, E_ref, depth_src, K_src, E_src)
+    dist = np.sqrt((x_rep - x_ref) ** 2 + (y_rep - y_ref) ** 2)
+    rel = np.abs(depth_rep - depth_ref) / np.where(depth_ref == 0, 1e-9,
+                                                   depth_ref)
+    masks = [(dist < i / 4) & (rel < i / 1300) for i in levels]
+    depth_rep = np.where(masks[-1], depth_rep, 0.0)
+    return masks, masks[-1], depth_rep
+
+
+def filter_and_fuse_dynamic(depths, confidences, Ks, Es, pairs, images=None,
+                            photo_threshold: float = 0.3,
+                            thres_view: int = 3):
+    """Dynamic-consistency filtering + fusion (dynamic_fusion.py:142-280):
+    a pixel passes if the loosest-threshold agreement count ≥ thres_view OR
+    at any level i it agrees with ≥ i views at that level's (tighter-for-
+    smaller-i) thresholds."""
+    all_pts, all_colors, out_masks = [], [], []
+    for ref, srcs in pairs:
+        depth_ref = depths[ref]
+        H, W = depth_ref.shape
+        photo_mask = confidences[ref] > photo_threshold
+        n = len(srcs) + 1
+        level_sums = None
+        geo_sum = np.zeros((H, W), np.int32)
+        depth_sum = depth_ref.copy()
+        for s in srcs:
+            masks, loose, d_rep = check_geometric_consistency_dynamic(
+                depth_ref, Ks[ref], Es[ref], depths[s], Ks[s], Es[s])
+            if level_sums is None:
+                level_sums = [m.astype(np.int32) for m in masks[: n - 1]]
+            else:
+                for i, m in enumerate(masks[: n - 1]):
+                    level_sums[i] += m.astype(np.int32)
+            geo_sum += loose.astype(np.int32)
+            depth_sum += d_rep
+        geo_mask = geo_sum >= thres_view
+        for i, s_lvl in enumerate(level_sums or []):
+            geo_mask = geo_mask | (s_lvl >= (i + 2))
+        depth_avg = depth_sum / (geo_sum + 1)
+        final = photo_mask & geo_mask & (depth_ref > 0)
+        out_masks.append(final)
+
+        ys, xs = np.where(final)
+        d = depth_avg[final]
+        xyz_cam = np.linalg.inv(Ks[ref]) @ (
+            np.vstack([xs, ys, np.ones_like(xs)]) * d)
+        E_inv = np.linalg.inv(Es[ref])
+        xyz_w = (E_inv @ np.vstack([xyz_cam, np.ones_like(d)]))[:3].T
+        all_pts.append(xyz_w.astype(np.float32))
+        if images is not None:
+            all_colors.append(images[ref][ys, xs])
+
+    pts = np.concatenate(all_pts) if all_pts else np.zeros((0, 3), np.float32)
+    colors = (np.concatenate(all_colors)
+              if images is not None and all_colors else None)
+    return pts, colors, out_masks

@@ -54,3 +54,24 @@ def test_filter_and_fuse_plane():
     pts0, _, _ = filter_and_fuse(depths, conf0, Ks, Es, pairs,
                                  conf_thresh=0.5, thres_view=3)
     assert len(pts0) == 0
+
+
+def test_dynamic_fusion_plane():
+    from diner_tpu.fusion.consistency import filter_and_fuse_dynamic
+
+    depths, Ks, Es = _plane_views(n=4)
+    conf = [np.ones_like(d) for d in depths]
+    pairs = [(0, [1, 2, 3])]
+    pts, _, masks = filter_and_fuse_dynamic(depths, conf, Ks, Es, pairs,
+                                            photo_threshold=0.5,
+                                            thres_view=3)
+    assert len(pts) > 0
+    np.testing.assert_allclose(pts[:, 2], 2.0, atol=1e-3)
+    # dynamic thresholds accept slightly-noisy views the strict filter kills
+    depths_noisy = [d.copy() for d in depths]
+    for d in depths_noisy[1:]:
+        d += np.random.RandomState(0).randn(*d.shape).astype(np.float32) \
+            * 0.004  # 0.2% of depth: > 1%/i strict... within level bands
+    pts2, _, _ = filter_and_fuse_dynamic(depths_noisy, conf, Ks, Es, pairs,
+                                         photo_threshold=0.5, thres_view=3)
+    assert len(pts2) > 0
