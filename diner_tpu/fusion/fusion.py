@@ -13,7 +13,7 @@ import os
 import struct
 import subprocess
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -19,7 +19,7 @@ keys; boolean fancy indexing replaced by masked math.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn

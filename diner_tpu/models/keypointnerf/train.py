@@ -11,7 +11,7 @@ and strided-tile full-image rendering recombined by pixel shuffle
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,8 @@ Parity targets:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
-from typing import Any, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import flax.linen as nn
 import flax.struct

@@ -10,7 +10,6 @@ parameters jointly.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Optional, Tuple
 
 import flax.struct
 import jax
@@ -25,7 +24,6 @@ from diner_tpu.models.novel.model import (
     make_gen_context,
 )
 from diner_tpu.models.novel.renderer import render_rays_novel
-from diner_tpu.renderer import RendererConfig
 from diner_tpu.train.diner import DinerConfig, select_pixels
 
 

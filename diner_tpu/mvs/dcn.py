@@ -13,7 +13,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
-from jax.nn.initializers import constant, uniform, zeros
+from jax.nn.initializers import constant, zeros
 
 
 def bilinear_sample_pix(img, x, y):
