@@ -78,6 +78,31 @@ def read_rgb(path, downsample: float | None = None) -> np.ndarray:
     return arr
 
 
+def resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """cv2.INTER_LINEAR semantics: half-pixel centers, edge clamp.
+
+    img: (H, W) or (H, W, C) float.
+    """
+    H, W = img.shape[:2]
+    ys = (np.arange(h) + 0.5) * (H / h) - 0.5
+    xs = (np.arange(w) + 0.5) * (W / w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, H - 1).astype(int)
+    x0 = np.clip(np.floor(xs), 0, W - 1).astype(int)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)
+    wx = np.clip(xs - x0, 0.0, 1.0)
+    if img.ndim == 3:
+        wy_ = wy[:, None, None]
+        wx_ = wx[None, :, None]
+    else:
+        wy_ = wy[:, None]
+        wx_ = wx[None, :]
+    top = img[y0][:, x0] * (1 - wx_) + img[y0][:, x1] * wx_
+    bot = img[y1][:, x0] * (1 - wx_) + img[y1][:, x1] * wx_
+    return (top * (1 - wy_) + bot * wy_).astype(img.dtype, copy=False)
+
+
 def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """torch F.interpolate(mode='nearest') semantics: src = floor(dst·in/out).
 

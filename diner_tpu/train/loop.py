@@ -75,9 +75,24 @@ class Trainer:
             **{"batch_size": 4, "shuffle": True,
                **run_cfg.dataloader_kwargs("train")})
 
-        # snapshot the config for reproducibility
+        # snapshot the config + code for reproducibility (the reference
+        # copies the full source tree into the run dir, general.py:21-27)
         with open(self.run_dir / "config_snapshot.json", "w") as f:
             json.dump(run_cfg.raw, f, indent=2, default=str)
+        self._snapshot_code()
+
+    def _snapshot_code(self):
+        import diner_tpu
+        dst = self.run_dir / "code_snapshot"
+        if dst.exists():
+            return
+        src = Path(diner_tpu.__file__).parent
+        try:
+            shutil.copytree(
+                src, dst / "diner_tpu",
+                ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.o"))
+        except OSError:
+            pass  # read-only install; config snapshot still recorded
 
     # ------------------------------------------------------------- setup
 

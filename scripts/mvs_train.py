@@ -23,9 +23,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train",
-                    choices=["train", "val", "write_prediction"])
+                    choices=["train", "val", "write_prediction", "profile"])
+    ap.add_argument("--dataset", default="dtu_yao",
+                    choices=["dtu_yao", "facescape", "multiface", "bld"],
+                    help="dataset loader (reference train.py --dataset)")
     ap.add_argument("--trainpath", required=True)
-    ap.add_argument("--trainlist", required=True)
+    ap.add_argument("--trainlist", default=None,
+                    help="scan list (dtu_yao/bld) — see "
+                         "diner_tpu/data/splits/mvs/")
+    ap.add_argument("--split_dir", default=None,
+                    help="facescape/multiface DINER split directory")
+    ap.add_argument("--split_config", default=None,
+                    help="multiface split json")
     ap.add_argument("--vallist", default=None)
     ap.add_argument("--ndepths", default="48,32,8")
     ap.add_argument("--depth_inter_r", default="4,2,1")
@@ -63,10 +72,30 @@ def main():
                                 depth_intervals_ratio=ratios),
         lr=args.lr)
 
-    dataset = MVSDTUDataset(args.trainpath, args.trainlist,
-                            "train" if args.mode == "train" else "val",
-                            nviews=args.nviews, ndepths=args.numdepth,
-                            interval_scale=args.interval_scale)
+    mode = "train" if args.mode == "train" else "val"
+    if args.dataset == "dtu_yao":
+        assert args.trainlist, "--trainlist required for dtu_yao"
+        dataset = MVSDTUDataset(args.trainpath, args.trainlist, mode,
+                                nviews=args.nviews, ndepths=args.numdepth,
+                                interval_scale=args.interval_scale)
+    elif args.dataset == "facescape":
+        from diner_tpu.mvs.facescape_dataset import MVSFacescapeDataset
+        dataset = MVSFacescapeDataset(
+            args.trainpath, args.mode, nviews=args.nviews,
+            ndepths=args.numdepth,
+            **({"split_dir": args.split_dir} if args.split_dir else {}))
+    elif args.dataset == "multiface":
+        from diner_tpu.mvs.multiface_dataset import MVSMultifaceDataset
+        dataset = MVSMultifaceDataset(
+            args.trainpath, args.mode, nviews=args.nviews,
+            ndepths=args.numdepth, split_config=args.split_config,
+            meta_dir=args.split_dir)
+    else:  # bld
+        assert args.trainlist, "--trainlist required for bld"
+        from diner_tpu.mvs.eval_datasets import MVSBlendedDataset
+        dataset = MVSBlendedDataset(args.trainpath, args.trainlist, mode,
+                                    nviews=args.nviews,
+                                    ndepths=args.numdepth)
 
     def to_batch(sample_or_batch):
         import jax.numpy as jnp
@@ -97,6 +126,21 @@ def main():
         return
 
     step_fn = jax.jit(make_mvs_train_step(model, cfg, tx))
+
+    if args.mode == "profile":
+        # reference train.py:321-349: warm up, then trace 5 steps to a
+        # chrome-trace; TPU equivalent is a jax.profiler trace directory
+        # loadable in TensorBoard / Perfetto.
+        from diner_tpu.utils.profiling import trace
+        trace_dir = str(Path(args.logdir) / "trace")
+        state, _ = step_fn(state, example)  # warmup/compile
+        with trace(trace_dir):
+            for i in range(5):
+                state, metrics = step_fn(state, example)
+                jax.device_get(metrics["loss"])
+        print(f"wrote profiler trace to {trace_dir}")
+        return
+
     loader = DataLoader(dataset, args.batch_size, shuffle=True,
                         num_workers=2)
     step = int(state["step"])
