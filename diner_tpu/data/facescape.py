@@ -82,6 +82,8 @@ class FacescapeDataset:
     znear = 1.0
     zfar = 2.5
 
+    range_hor = 45  # horizontal camera range (facescape.py:26, 387)
+
     def __init__(self, root, stage: str, model: str = "DINER",
                  depth_type: str = "original", depth_fname: Optional[str] = None,
                  depth_root: Optional[str] = None,
@@ -108,6 +110,46 @@ class FacescapeDataset:
 
     def __len__(self):
         return len(self.metas)
+
+    def get_cam_sweep_extrinsics(self, nframes: int, scan_idx: int,
+                                 elevation: float = 0.0,
+                                 radius: float = 1.8,
+                                 sweep_range: Optional[float] = None
+                                 ) -> np.ndarray:
+        """Horizontal arc of target cameras around the head
+        (facescape.py:365-424): the base camera sits along the mean source
+        direction at ``radius``, looks at the origin with world -z as image
+        down, and is swept ±sweep_range° about the world z axis."""
+        base = self[scan_idx]
+        src_extr = np.asarray(base["src_extrinsics"], np.float64)
+        centers = -np.einsum("nji,njk->nik", src_extr[:, :3, :3],
+                             src_extr[:, :3, 3:])[..., 0]  # (N, 3)
+        dirs = centers / np.linalg.norm(centers, axis=-1, keepdims=True)
+        mean_dir = dirs.sum(axis=0)
+        mean_dir /= np.linalg.norm(mean_dir)
+        center = mean_dir * radius
+        z_ax = -center / np.linalg.norm(center)
+        y_ax = np.array([0.0, 0.0, -1.0])
+        x_ax = np.cross(y_ax, z_ax)
+        x_ax /= np.linalg.norm(x_ax)
+
+        base_pose = np.eye(4)
+        base_pose[:3, 0] = x_ax
+        base_pose[:3, 1] = y_ax
+        base_pose[:3, 2] = z_ax
+        base_pose[:3, 3] = center
+
+        sweep_range = (sweep_range if sweep_range is not None
+                       else self.range_hor)
+        alphas = np.linspace(-sweep_range, sweep_range,
+                             nframes) / 180.0 * np.pi
+        rots = np.stack([
+            np.array([[np.cos(a), -np.sin(a), 0, 0],
+                      [np.sin(a), np.cos(a), 0, 0],
+                      [0, 0, 1, 0],
+                      [0, 0, 0, 1.0]]) for a in alphas])
+        target_poses = rots @ base_pose[None]
+        return np.linalg.inv(target_poses).astype(np.float32)
 
     @staticmethod
     def int_to_viewdir(i: int) -> str:

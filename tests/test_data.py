@@ -226,3 +226,64 @@ def test_dataloader_prefetch_and_collate():
     _ = list(dl2)
     order2 = [b["x"][:, 0, 0].tolist() for b in dl2]
     assert order1 != order2
+
+
+def test_facescape_cam_sweep(tmp_path):
+    """Sweep cameras sit on a radius-r arc about world z, looking at the
+    origin with world -z as image down (facescape.py:365-424)."""
+    from diner_tpu.data.facescape import FacescapeDataset
+
+    root, split_dir = _write_facescape_fixture(tmp_path)
+
+    class _OffAxis(FacescapeDataset):
+        # the shared fixture's cameras sit on the z axis, which is the
+        # sweep's singular direction; substitute a realistic binocular rig
+        def __getitem__(self, idx):
+            s = super().__getitem__(idx)
+            extr = []
+            for ang in (-0.3, 0.3):
+                R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                              [np.sin(ang), np.cos(ang), 0],
+                              [0, 0, 1.0]])
+                c = R @ np.array([0.0, -1.6, 0.2])
+                E = np.eye(4)
+                E[:3, :3] = R
+                E[:3, 3] = -R @ c  # world→cam: t = -R c
+                extr.append(E)
+            s["src_extrinsics"] = np.stack(extr).astype(np.float32)
+            return s
+
+    ds = _OffAxis(root, "val", split_dir=split_dir)
+    nframes, radius, sweep = 7, 1.8, 45.0
+    extr = ds.get_cam_sweep_extrinsics(nframes, 0, radius=radius,
+                                       sweep_range=sweep)
+    assert extr.shape == (nframes, 4, 4)
+    poses = np.linalg.inv(extr.astype(np.float64))
+    centers = poses[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.norm(centers, axis=-1), radius,
+                               rtol=1e-5)
+    # optical axis (z column) points from the camera to the origin
+    z_cols = poses[:, :3, 2]
+    np.testing.assert_allclose(z_cols, -centers / radius, atol=1e-5)
+    # y column is world -z (image down)
+    np.testing.assert_allclose(poses[:, :3, 1],
+                               np.tile([0, 0, -1.0], (nframes, 1)),
+                               atol=1e-6)
+    # first↔last arc angle = 2 * sweep_range (rotation about world z)
+    c0 = centers[0] / radius
+    c1 = centers[-1] / radius
+    cos = np.dot(c0, c1)
+    # both are unit; the rotation is about z so compare azimuthal angle
+    a0 = np.arctan2(c0[1], c0[0])
+    a1 = np.arctan2(c1[1], c1[0])
+    dag = np.degrees((a1 - a0 + np.pi) % (2 * np.pi) - np.pi)
+    assert abs(abs(dag) - 2 * sweep) < 1e-4
+    # middle frame aligns with the mean source direction (alpha = 0)
+    s = ds[0]
+    se = np.asarray(s["src_extrinsics"], np.float64)
+    sc = -np.einsum("nji,njk->nik", se[:, :3, :3], se[:, :3, 3:])[..., 0]
+    sd = sc / np.linalg.norm(sc, axis=-1, keepdims=True)
+    md = sd.sum(0)
+    md /= np.linalg.norm(md)
+    np.testing.assert_allclose(centers[nframes // 2] / radius, md,
+                               atol=1e-5)
