@@ -167,6 +167,18 @@ class DTUDataset:
             light_idx=light,
         )
 
+    # -- debug harnesses (reference dtu.py:342-419) -----------------------
+
+    def visualize_item(self, idx: int, show: bool = True, outfile=None):
+        from diner_tpu.data.debug import visualize_item
+        visualize_item(self[idx], show=show, outfile=outfile)
+
+    def visualize_camgrid(self, show: bool = True, outfile=None):
+        from diner_tpu.data.debug import visualize_camgrid
+        return visualize_camgrid(self.cam_dict["extrinsics"],
+                                 labels=self.cam_dict["ids"], show=show,
+                                 outfile=outfile)
+
     def check_depth_existence(self):
         missing: List[Path] = []
         seen = set()

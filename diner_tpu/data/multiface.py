@@ -289,6 +289,38 @@ class MultifaceDataset:
             src_view_ids=np.asarray([int(s) for s in source_ids]),
         )
 
+    # -- debug harnesses (reference multiface.py:433+) --------------------
+
+    def visualize_item(self, idx: int, show: bool = True, outfile=None):
+        from diner_tpu.data.debug import visualize_item
+        visualize_item(self[idx], show=show, outfile=outfile)
+
+    def visualize_camgrid(self, i: int = 0, show: bool = True,
+                          outfile=None):
+        from diner_tpu.data.debug import visualize_camgrid
+        scan_path = Path(self.metas[i]["scan_path"])
+        subject = scan_path.parents[3].name
+        krt = load_krt(self.data_dir / subject / "KRT")
+        names = sorted(krt.keys())
+        extr = np.stack([_to_homogeneous(krt[n]["extrin"]) for n in names])
+        return visualize_camgrid(extr, labels=names, show=show,
+                                 outfile=outfile)
+
+    def check_depth_existence(self):
+        from diner_tpu.data.debug import check_depth_existence
+
+        def paths(meta):
+            scan_path = Path(meta["scan_path"])
+            subject = scan_path.parents[3].name
+            seq = scan_path.parents[1].name
+            frame = scan_path.stem
+            for sid in meta["ref_ids"][2:]:
+                yield self._img_to_depth_path(
+                    self.data_dir / subject / "images" / seq / sid /
+                    f"{frame}.png")
+
+        check_depth_existence(self.metas, paths)
+
     def get_cam_sweep_extrinsics(self, nframes: int, scan_idx: int,
                                  **_) -> np.ndarray:
         from scipy.spatial.transform import Rotation
