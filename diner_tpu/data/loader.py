@@ -16,13 +16,16 @@ import numpy as np
 
 
 def collate(samples: Sequence[Dict]) -> Dict:
-    """Stack a list of sample dicts into one batch dict."""
+    """Stack a list of sample dicts into one batch dict (recurses into
+    nested dicts, e.g. the MVS per-stage pyramids)."""
     out: Dict = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
         first = vals[0]
         if isinstance(first, np.ndarray):
             out[key] = np.stack(vals)
+        elif isinstance(first, dict):
+            out[key] = collate(vals)
         elif isinstance(first, (int, float, np.integer, np.floating)):
             out[key] = np.asarray(vals)
         else:

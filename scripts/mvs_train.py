@@ -141,6 +141,42 @@ def main():
         print(f"wrote profiler trace to {trace_dir}")
         return
 
+    if args.mode == "val":
+        # reference train.py:269-319 (test_sample_depth): depth metrics
+        # over the val set, dict-averaged
+        import jax.numpy as jnp
+        from diner_tpu.mvs.loss import abs_depth_error, threshold_metric
+        from diner_tpu.utils.meters import DictAverageMeter
+
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+
+        @jax.jit
+        def val_metrics(imgs, projs, dvals, gt, mask):
+            out = model.apply(variables, imgs, projs, dvals, False)
+            d = out["depth"]
+            return {
+                "abs_depth_error": abs_depth_error(d, gt, mask),
+                "thres2mm_error": threshold_metric(d, gt, mask, 2.0),
+                "thres4mm_error": threshold_metric(d, gt, mask, 4.0),
+                "thres8mm_error": threshold_metric(d, gt, mask, 8.0),
+            }
+
+        meter = DictAverageMeter()
+        n = len(dataset) if args.max_steps < 0 else min(len(dataset),
+                                                        args.max_steps)
+        for i in range(n):
+            b = to_batch(dataset[i])
+            m = val_metrics(b["imgs"][None],
+                            {k: v[None] for k, v in b["proj_matrices"].items()},
+                            b["depth_values"][None],
+                            b["depth"]["stage3"][None],
+                            b["mask"]["stage3"][None])
+            meter.update({k: float(v) for k, v in m.items()})
+        for k, v in meter.mean().items():
+            print(f"{k}: {v:.4f}")
+        return
+
     loader = DataLoader(dataset, args.batch_size, shuffle=True,
                         num_workers=2)
     step = int(state["step"])

@@ -74,3 +74,24 @@ def test_novel_train_step_runs():
         state, metrics = step_fn(state, batch, sub)
     assert np.isfinite(float(metrics["total"]))
     assert int(state.step) == 2
+
+
+def test_dict_average_meter():
+    from diner_tpu.utils.meters import DictAverageMeter
+
+    m = DictAverageMeter()
+    m.update({"loss": 2.0, "psnr": 10.0})
+    m.update({"loss": 4.0, "psnr": 20.0}, n=3)
+    avg = m.mean()
+    assert abs(avg["loss"] - (2 + 4 * 3) / 4) < 1e-9
+    assert abs(avg["psnr"] - (10 + 20 * 3) / 4) < 1e-9
+    m.reset()
+    assert m.mean() == {} and m.count == 0
+
+
+def test_reduce_scalar_dict_and_synchronize_single_process():
+    from diner_tpu.utils.meters import reduce_scalar_dict, synchronize
+
+    out = reduce_scalar_dict({"a": 1.5, "b": 2.0})
+    assert out == {"a": 1.5, "b": 2.0}
+    synchronize()  # no-op, must not raise

@@ -287,3 +287,17 @@ def test_facescape_cam_sweep(tmp_path):
     md /= np.linalg.norm(md)
     np.testing.assert_allclose(centers[nframes // 2] / radius, md,
                                atol=1e-5)
+
+
+def test_collate_nested_dicts():
+    from diner_tpu.data.loader import collate
+
+    s = {"a": np.ones((2, 3)), "pyr": {"s1": np.zeros((4,)),
+                                       "s2": np.ones((8,))},
+         "name": "x", "scalar": 1.5}
+    b = collate([s, s])
+    assert b["a"].shape == (2, 2, 3)
+    assert b["pyr"]["s1"].shape == (2, 4)
+    assert b["pyr"]["s2"].shape == (2, 8)
+    assert b["name"] == ["x", "x"]
+    np.testing.assert_allclose(b["scalar"], [1.5, 1.5])
