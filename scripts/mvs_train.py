@@ -49,7 +49,13 @@ def main():
     ap.add_argument("--outpath", default=None)
     ap.add_argument("--maskoutput", action="store_true")
     ap.add_argument("--max-steps", type=int, default=-1)
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax_debug_nans: error at the first NaN op")
     args = ap.parse_args()
+
+    if args.debug_nans:
+        import jax as _jax
+        _jax.config.update("jax_debug_nans", True)
 
     import jax
     import numpy as np

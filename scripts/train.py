@@ -27,7 +27,14 @@ def main():
                     help="shard over all devices ('data' x 'rays')")
     ap.add_argument("--data-parallel", type=int, default=None)
     ap.add_argument("--num-workers", type=int, default=2)
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax_debug_nans: error at the first NaN-producing "
+                         "op (TPU-native NaN sentinel, SURVEY §5)")
     args = ap.parse_args()
+
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from diner_tpu.train.config import load_train_config
     from diner_tpu.train.loop import Trainer
