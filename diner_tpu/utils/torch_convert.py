@@ -107,12 +107,13 @@ def convert_spatial_encoder(sd: Mapping[str, np.ndarray], num_layers: int = 4,
 
 
 def convert_pixelnerf(sd: Mapping[str, np.ndarray], n_blocks: int = 5,
-                      combine_layer: int = 3, num_layers: int = 4):
+                      combine_layer: int = 3, num_layers: int = 4,
+                      backbone_blocks=(3, 4, 6, 3)):
     """Reference PixelNeRF state_dict (``encoder.*`` + ``mlp_fine.*``) →
     our PixelNeRF variables."""
     enc = convert_spatial_encoder(
         {k[len("encoder."):]: v for k, v in sd.items()
-         if k.startswith("encoder.")}, num_layers)
+         if k.startswith("encoder.")}, num_layers, backbone_blocks)
     mlp = convert_resnetfc(
         {k[len("mlp_fine."):]: v for k, v in sd.items()
          if k.startswith("mlp_fine.")}, n_blocks, combine_layer)
