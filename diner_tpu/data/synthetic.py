@@ -10,7 +10,6 @@ Produces batches with the same keys the data layer uses
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 
 def _look_at(eye, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
@@ -74,7 +73,7 @@ def make_sphere_scene(H=32, W=32, nv=2, sb=1, depth_std=0.01, seed=0,
                       target_angle=0.35):
     """Build a batch dict for a sphere scene with `nv` source views.
 
-    Returns channels-last jnp arrays:
+    Returns channels-last numpy arrays (host-side, like the data layer):
       src_rgbs (SB,NV,H,W,3), src_depths / src_depth_stds (SB,NV,H,W,1),
       src_extrinsics (SB,NV,4,4), src_intrinsics (SB,NV,3,3),
       target_rgb (SB,H,W,3), target_alpha (SB,H,W,1),
@@ -124,4 +123,8 @@ def make_sphere_scene(H=32, W=32, nv=2, sb=1, depth_std=0.01, seed=0,
     )
     if sb > 1:
         batch = {k: np.repeat(v, sb, axis=0) for k, v in batch.items()}
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+    # host-side numpy, like the real data layer: the dataset must not touch
+    # the accelerator (on a relay-backed default device an eager jnp.asarray
+    # here would round-trip every sample through the TPU); jnp consumers
+    # accept numpy directly, device placement is the training loop's job
+    return {k: np.asarray(v) for k, v in batch.items()}

@@ -27,6 +27,7 @@ def depth_to_normal(dmap, intrinsics):
     N, H, W = dmap.shape
     dtype = dmap.dtype
 
+    intrinsics = jnp.asarray(intrinsics)  # accept host numpy
     focal = intrinsics[:, jnp.array([0, 1]), jnp.array([0, 1])]  # (N, 2)
     c = intrinsics[:, :2, 2]  # (N, 2)
 

@@ -28,6 +28,7 @@ def gen_rays(extrinsics, intrinsics, W: int, H: int, z_near, z_far):
     B = extrinsics.shape[0]
     dtype = extrinsics.dtype
 
+    intrinsics = jnp.asarray(intrinsics)  # accept host numpy
     focal = intrinsics[:, jnp.array([0, 1]), jnp.array([0, 1])]  # (B, 2) fx, fy
     c = intrinsics[:, :2, 2]  # (B, 2) cx, cy
 

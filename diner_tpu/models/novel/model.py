@@ -95,6 +95,7 @@ class NovelPixelNeRF(nn.Module):
             intrinsics.reshape(SB * NV, 3, 3)).reshape(SB, NV, H, W, 3)
         latent = self.encoder(imgs.reshape(SB * NV, H, W, 3), train=train)
         latent = latent.reshape((SB, NV) + latent.shape[1:])
+        intrinsics = jnp.asarray(intrinsics)  # accept host numpy
         focal = intrinsics[:, :, jnp.array([0, 1]), jnp.array([0, 1])]
         c = intrinsics[:, :, :2, 2]
         return SceneContext(
@@ -175,6 +176,7 @@ class NovelPixelNeRF(nn.Module):
 def make_gen_context(gen_extrinsics, gen_intrinsics, image_wh,
                      src_pe_maps=None, tgt_pe_map=None) -> GenContext:
     """Pack the canonical camera (encode_gen, novel_pixelnerf.py:76-83)."""
+    gen_intrinsics = jnp.asarray(gen_intrinsics)  # accept host numpy
     focal = gen_intrinsics[:, jnp.array([0, 1]), jnp.array([0, 1])][:, None]
     c = gen_intrinsics[:, :2, 2][:, None]
     return GenContext(

@@ -117,6 +117,7 @@ class PixelNeRF(nn.Module):
         latent = self.encoder(imgs.reshape(SB * NV, H, W, 3), train=train)
         latent = latent.reshape((SB, NV) + latent.shape[1:])
 
+        intrinsics = jnp.asarray(intrinsics)  # accept host numpy
         focal = intrinsics[:, :, jnp.array([0, 1]), jnp.array([0, 1])]
         c = intrinsics[:, :, :2, 2]
         return SceneContext(

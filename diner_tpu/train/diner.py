@@ -121,7 +121,7 @@ def select_pixels(cfg: DinerConfig, batch, key):
 
     spatch = cfg.vgg_spatch
     pad = (spatch + 1) // 2
-    fg = batch["target_alpha"][..., 0]  # (SB, H, W)
+    fg = jnp.asarray(batch["target_alpha"])[..., 0]  # (SB, H, W)
     fg = fg.at[:, :, :pad].set(0).at[:, :pad, :].set(0)
     fg = fg.at[:, :, -pad:].set(0).at[:, -pad:, :].set(0)
     logits = jnp.where(fg.reshape(SB, H * W) > 0,

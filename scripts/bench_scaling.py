@@ -19,6 +19,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from diner_tpu.utils.platform import respect_env_platform
+respect_env_platform()  # JAX_PLATFORMS=cpu must win over plugin pins
+
 
 def main():
     ap = argparse.ArgumentParser()
