@@ -250,7 +250,19 @@ class TransMVSNet(nn.Module):
         depth_max = depth_values[:, -1]
         depth_interval = (depth_max[0] - depth_min[0]) / depth_values.shape[1]
 
-        features = [self.feature(imgs[:, v], train) for v in range(V)]
+        # One batched FeatureNet call over (B·V, H, W, 3) instead of the
+        # reference's per-view loop (TransMVSNet.py:158-161): identical with
+        # frozen BN stats, ~V× smaller compiled graph, and the MXU sees one
+        # large batch. (Train-mode BN normalizes over B·V pooled views
+        # instead of per view — a deliberate deviation, documented; the
+        # reference never syncs BN across its DDP replicas either.)
+        feats_all = self.feature(
+            imgs.reshape((B * V,) + imgs.shape[2:]), train)
+        features = [
+            {k: f.reshape((B, V) + f.shape[1:])[:, v]
+             for k, f in feats_all.items()}
+            for v in range(V)
+        ]
         features = self.fmt_pathway(features)
 
         outputs: Dict = {}
