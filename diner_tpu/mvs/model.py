@@ -182,6 +182,7 @@ class DepthNet(nn.Module):
         D = depth_values.shape[1]
 
         def full_proj(pm):
+            pm = jnp.asarray(pm)  # accept host numpy
             ext = pm[:, 0]
             out = ext.at[:, :3, :4].set(
                 jnp.einsum("bij,bjk->bik", pm[:, 1, :3, :3], ext[:, :3, :4],

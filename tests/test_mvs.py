@@ -231,3 +231,23 @@ def test_entropy_loss_matches_reference():
     np.testing.assert_allclose(float(ours_loss), float(ref_loss), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ours_wta), ref_wta.numpy(),
                                atol=1e-6)
+
+
+def test_featurenet_view_batching_matches_per_view():
+    """The batched (B*V) FeatureNet call must equal the reference's
+    per-view loop exactly with frozen BN stats (model.py view batching)."""
+    from diner_tpu.mvs.model import FeatureNet
+
+    rng = np.random.RandomState(7)
+    B, V, H, W = 2, 3, 32, 32
+    imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+    net = FeatureNet(base_channels=4)
+    variables = net.init(jax.random.PRNGKey(0), imgs[:, 0], train=False)
+
+    batched = net.apply(variables, imgs.reshape(B * V, H, W, 3), train=False)
+    for v in range(V):
+        per_view = net.apply(variables, imgs[:, v], train=False)
+        for stage, f in batched.items():
+            np.testing.assert_allclose(
+                np.asarray(f.reshape((B, V) + f.shape[1:])[:, v]),
+                np.asarray(per_view[stage]), rtol=1e-6, atol=1e-6)
