@@ -170,6 +170,23 @@ def test_mvs_train_step_and_write_prediction(tmp_path):
     assert (c >= 0).all() and (c <= 1.0 + 1e-3).all()
     assert (tmp_path / "Depths/scan1/depth_map_0000_TransMVSNet_vis.png").exists()
 
+    # checkpoint resume (the reference's finetune.py flow: restore a trained
+    # state and keep stepping, deps/TransMVSNet/train.py:419-428)
+    from diner_tpu.train import checkpoint as ckpt_lib
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_lib.save_checkpoint(ckpt_dir, state, step=int(state["step"]))
+    latest = ckpt_lib.latest_checkpoint(ckpt_dir)
+    assert latest and latest.endswith("step_00000003")
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = ckpt_lib.restore_checkpoint(latest, template)
+    assert int(restored["step"]) == 3
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.device_get(state["params"]),
+                 jax.device_get(restored["params"]))
+    state2, metrics2 = step_fn(restored, batch)
+    assert int(state2["step"]) == 4
+    assert np.isfinite(float(metrics2["loss"]))
+
 
 def test_facescape_mvs_dataset(tmp_path):
     import json
