@@ -33,10 +33,15 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        # BN statistics stay in f32 even under bf16 compute
-        norm = lambda name: nn.BatchNorm(
+        # BN statistics/normalization stay in f32 even under bf16 compute,
+        # but the OUTPUT is cast back to the compute dtype: otherwise flax's
+        # f32 BN silently promotes every activation after it (residual adds,
+        # the whole feature pyramid, and downstream consumers like the
+        # 512-channel latent gather) to f32 — 2x the HBM traffic of the
+        # intended mixed-precision recipe.
+        norm = lambda name: (lambda t: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+            dtype=jnp.float32, name=name)(t).astype(self.dtype))
         y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
@@ -77,7 +82,8 @@ class ResNetEncoder(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="bn1")(x).astype(self.dtype)
         x = nn.relu(x)
 
         latents = [x]

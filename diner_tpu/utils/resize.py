@@ -42,16 +42,25 @@ def resize_bilinear_align_corners(x, out_h: int, out_w: int):
     return resize_linear_2d(x, out_h, out_w, align_corners=True)
 
 
+def _matmul_precision(dtype):
+    # f32 inputs keep exact 2-tap interpolation via the multi-pass MXU mode;
+    # bf16 inputs are already rounded, so default single-pass bf16 matmuls
+    # are both faster and dtype-consistent (an f32 matrix would silently
+    # promote the result — and everything downstream — to f32).
+    return "highest" if dtype == jnp.float32 else None
+
+
 def resize_linear_2d(x, out_h: int, out_w: int, align_corners: bool = False):
     """torch F.interpolate(mode='bilinear') on the (-3, -2) axes of
     channels-last input, as two small matmuls (MXU-friendly)."""
     H, W = x.shape[-3], x.shape[-2]
     if (H, W) == (out_h, out_w):
         return x
-    Ah = jnp.asarray(_interp_matrix(H, out_h, align_corners))
-    Aw = jnp.asarray(_interp_matrix(W, out_w, align_corners))
-    x = jnp.einsum("oh,...hwc->...owc", Ah, x, precision="highest")
-    x = jnp.einsum("ow,...hwc->...hoc", Aw, x, precision="highest")
+    prec = _matmul_precision(x.dtype)
+    Ah = jnp.asarray(_interp_matrix(H, out_h, align_corners), dtype=x.dtype)
+    Aw = jnp.asarray(_interp_matrix(W, out_w, align_corners), dtype=x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", Ah, x, precision=prec)
+    x = jnp.einsum("ow,...hwc->...hoc", Aw, x, precision=prec)
     return x
 
 
@@ -60,9 +69,10 @@ def resize_linear_axis(x, out_n: int, axis: int, align_corners: bool = False):
     n_in = x.shape[axis]
     if n_in == out_n:
         return x
-    A = jnp.asarray(_interp_matrix(n_in, out_n, align_corners))
+    A = jnp.asarray(_interp_matrix(n_in, out_n, align_corners), dtype=x.dtype)
     x = jnp.moveaxis(x, axis, -1)
-    x = jnp.einsum("on,...n->...o", A, x, precision="highest")
+    x = jnp.einsum("on,...n->...o", A, x,
+                   precision=_matmul_precision(x.dtype))
     return jnp.moveaxis(x, -1, axis)
 
 
@@ -106,10 +116,11 @@ def resize_bicubic_align_corners(x, out_h: int, out_w: int):
     H, W = x.shape[-3], x.shape[-2]
     if (H, W) == (out_h, out_w):
         return x
-    Ah = jnp.asarray(_cubic_matrix(H, out_h))
-    Aw = jnp.asarray(_cubic_matrix(W, out_w))
-    x = jnp.einsum("oh,...hwc->...owc", Ah, x, precision="highest")
-    x = jnp.einsum("ow,...hwc->...hoc", Aw, x, precision="highest")
+    prec = _matmul_precision(x.dtype)
+    Ah = jnp.asarray(_cubic_matrix(H, out_h), dtype=x.dtype)
+    Aw = jnp.asarray(_cubic_matrix(W, out_w), dtype=x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", Ah, x, precision=prec)
+    x = jnp.einsum("ow,...hwc->...hoc", Aw, x, precision=prec)
     return x
 
 
