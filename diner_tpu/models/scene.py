@@ -14,7 +14,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from diner_tpu.ops.grid_sample import grid_sample_bilinear
+from diner_tpu.ops.grid_sample import grid_sample_bilinear_imggrad
 from diner_tpu.ops.sampling import ViewMaps
 
 
@@ -84,5 +84,7 @@ def index_latent(ctx: SceneContext, uv_ndc):
     )
     uv = (uv_ndc * scale).reshape(SB * NV, P, 2)
     latent = ctx.latent.reshape((SB * NV,) + ctx.latent.shape[2:])
-    out = grid_sample_bilinear(latent, uv, "border")
+    # custom-VJP sampler: image grads only (uv comes from stop_gradient-ed
+    # sample positions + camera constants on this path), f32 scatter accum
+    out = grid_sample_bilinear_imggrad(latent, uv, "border")
     return out.reshape(SB, NV, P, -1)

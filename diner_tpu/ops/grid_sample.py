@@ -28,6 +28,9 @@ All functions use ``align_corners=False`` semantics:
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -146,6 +149,95 @@ def grid_sample_bilinear(img, uv, padding_mode: str = "border",
         + corner(x0i, y1i, wx0 * wy1)
         + corner(x1i, y1i, wx1 * wy1)
     )
+
+
+def _bilinear_corners(img_shape, uv, padding_mode: str,
+                      align_corners: bool = False):
+    """Shared index/weight computation for the bilinear sampler.
+
+    Returns (ix, iy, w) lists of the 4 corners' clipped indices and weights
+    (weights already zeroed for out-of-bounds corners in "zeros" mode).
+    """
+    N, H, W, C = img_shape
+    x = _unnormalize(uv[..., 0], W, align_corners)
+    y = _unnormalize(uv[..., 1], H, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    out = []
+    for ix, iy, wgt in (
+        (x0i, y0i, (1.0 - wx1) * (1.0 - wy1)),
+        (x0i + 1, y0i, wx1 * (1.0 - wy1)),
+        (x0i, y0i + 1, (1.0 - wx1) * wy1),
+        (x0i + 1, y0i + 1, wx1 * wy1),
+    ):
+        if padding_mode == "zeros":
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            wgt = jnp.where(valid, wgt, jnp.zeros_like(wgt))
+        out.append((jnp.clip(ix, 0, W - 1), jnp.clip(iy, 0, H - 1), wgt))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gs_bilinear_imggrad(img, uv, padding_mode, img_shape, img_dtype):
+    out, _ = _gs_bilinear_fwd(img, uv, padding_mode, img_shape, img_dtype)
+    return out
+
+
+def _gs_bilinear_fwd(img, uv, padding_mode, img_shape, img_dtype):
+    corners = _bilinear_corners(img.shape, uv, padding_mode)
+    out = None
+    for ix, iy, wgt in corners:
+        term = _gather_pixels(img, ix, iy) * wgt[..., None].astype(img.dtype)
+        out = term if out is None else out + term
+    return out, uv
+
+
+def _gs_bilinear_bwd(padding_mode, img_shape, img_dtype, uv, g):
+    N, H, W, C = img_shape
+    corners = _bilinear_corners(img_shape, uv, padding_mode)
+    base = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
+    acc = jnp.zeros((N * H * W, C), jnp.float32)
+    g32 = g.astype(jnp.float32)
+    for ix, iy, wgt in corners:
+        idx = (base + iy * W + ix).reshape(-1)
+        upd = (g32 * wgt[..., None].astype(jnp.float32)).reshape(-1, C)
+        acc = acc.at[idx].add(upd)
+    d_img = acc.reshape(N, H, W, C).astype(img_dtype)
+    return d_img, jnp.zeros_like(uv)
+
+
+_gs_bilinear_imggrad.defvjp(_gs_bilinear_fwd, _gs_bilinear_bwd)
+
+
+def grid_sample_bilinear_imggrad(img, uv, padding_mode: str = "border"):
+    """Bilinear point sampling with a hand-written VJP for the image only.
+
+    Numerically identical to :func:`grid_sample_bilinear` in the forward.
+    The backward differs from autodiff in two deliberate ways (this is the
+    framework's hottest gradient path — the 512-channel latent lookup):
+
+      - **no uv cotangent** (zeros returned): on the DINER path the sample
+        coordinates come from ``stop_gradient``-ed sample positions and
+        camera constants (reference runs the sampler under ``no_grad``,
+        ``src/models/nerf_renderer.py:65``), so the 4 corner *re-gathers* +
+        channel reductions autodiff emits for d/d(uv) are dead weight;
+      - **f32 scatter accumulation**: corner weights × cotangent are
+        accumulated into an f32 canvas and cast back to ``img.dtype`` once
+        (sub-word scatter-add is measured slower on TPU, and f32
+        accumulation is more accurate for bf16 latents).
+    """
+    img = jnp.asarray(img)
+    return _gs_bilinear_imggrad(img, uv, padding_mode, img.shape,
+                                str(img.dtype))
 
 
 def grid_sample_exponential_nearest(

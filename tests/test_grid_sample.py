@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from diner_tpu.ops.grid_sample import (
     grid_sample_bilinear,
+    grid_sample_bilinear_imggrad,
     grid_sample_nearest,
     grid_sample_exponential_nearest,
 )
@@ -118,3 +119,32 @@ def test_bilinear_gradients_match_torch():
     (out ** 2).sum().backward()
     g_ref = np.transpose(img_t.grad.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(g_jax, g_ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_bilinear_imggrad_custom_vjp(padding):
+    """The hand-written-VJP variant (hot latent path): forward identical to
+    the autodiff sampler, image cotangent identical, uv cotangent zero."""
+    img, uv = _rand_img_uv(7, N=2, H=8, W=9, C=4, P=60, uv_range=1.2)
+
+    import jax
+
+    fwd_ref = grid_sample_bilinear(jnp.asarray(img), jnp.asarray(uv), padding)
+    fwd_new = grid_sample_bilinear_imggrad(jnp.asarray(img), jnp.asarray(uv),
+                                           padding)
+    np.testing.assert_array_equal(np.asarray(fwd_ref), np.asarray(fwd_new))
+
+    def loss_ref(img_j):
+        return jnp.sum(grid_sample_bilinear(img_j, jnp.asarray(uv),
+                                            padding) ** 2)
+
+    def loss_new(img_j, uv_j):
+        return jnp.sum(grid_sample_bilinear_imggrad(img_j, uv_j,
+                                                    padding) ** 2)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(img)))
+    g_img, g_uv = jax.grad(loss_new, argnums=(0, 1))(jnp.asarray(img),
+                                                     jnp.asarray(uv))
+    np.testing.assert_allclose(np.asarray(g_img), g_ref, atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(g_uv), 0.0)
