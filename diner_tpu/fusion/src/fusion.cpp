@@ -159,10 +159,13 @@ long long fuse_depth_maps(int n_views, int rows, int cols,
                 project(cams[v], X, &u, &w, &dproj);
                 if (!(u >= 0 && u < cols && w >= 0 && w < rows)) continue;
                 // texture fetch at (pt + 0.5) with point sampling →
-                // texel floor(pt + 0.5); backprojection uses (int)pt
-                const int fu = (int)std::floor(u + 0.5f);
-                const int fv = (int)std::floor(w + 0.5f);
-                if (fu < 0 || fu >= cols || fv < 0 || fv >= rows) continue;
+                // texel floor(pt + 0.5), CLAMPED like a CUDA texture with
+                // unnormalized coords (u ∈ [cols-0.5, cols) reads the last
+                // texel); backprojection uses (int)pt
+                int fu = (int)std::floor(u + 0.5f);
+                int fv = (int)std::floor(w + 0.5f);
+                fu = fu >= cols ? cols - 1 : fu;
+                fv = fv >= rows ? rows - 1 : fv;
                 const long long q = (long long)fv * cols + fu;
                 const float dv = depths[v * hw + q];
                 if (dv <= 0.0f) continue;

@@ -79,22 +79,74 @@ def sine_position_encoding_2d(d_model: int, H: int, W: int, dtype=jnp.float32):
     return pe
 
 
+class PositionEncodingSuperGlue(nn.Module):
+    """SuperGlue-style learned positional encoding.
+
+    Parity target: reference ``deps/TransMVSNet/models/position_encoding.py:6-21``
+    (``PositionEncodingSuperGule`` + ``KeypointEncoder`` :89-99 + ``MLP``
+    :63-75 + ``normalize_keypoints`` :78-86): pixel-index keypoints
+    normalized by ``(kpts − size/2) / (0.7·max(W,H))``, then a
+    Conv1d(k=1)+BN+ReLU MLP ``[2] + [32, 64] + [d_model]`` (no BN/ReLU on
+    the last layer, zero-init last bias), added to the feature map. The
+    reference instantiates it but ships with the sine variant enabled
+    (``FMT.py:125-126``); exposed here via ``FMT(pe_type='superglue')``.
+
+    Input/output channels-last (N, H, W, C).
+    """
+
+    d_model: int = 32
+    mlp_layers: Sequence[int] = (32, 64)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        N, H, W, C = x.shape
+        xs = jnp.arange(W, dtype=jnp.float32)
+        ys = jnp.arange(H, dtype=jnp.float32)
+        kpts = jnp.stack(
+            [jnp.broadcast_to(xs[None, :], (H, W)),
+             jnp.broadcast_to(ys[:, None], (H, W))], axis=-1)  # (H, W, 2)
+        size = jnp.asarray([W, H], jnp.float32)
+        scaling = 0.7 * jnp.max(size)
+        p = (kpts - size / 2.0) / scaling
+        h = p.reshape(1, H * W, 2).astype(self.dtype)
+        for i, ch in enumerate(self.mlp_layers):
+            h = nn.Dense(ch, dtype=self.dtype, name=f"mlp_{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype, name=f"bn_{i}")(h)
+            h = nn.relu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     bias_init=nn.initializers.zeros, name="mlp_out")(h)
+        return x + h.reshape(1, H, W, self.d_model).astype(x.dtype)
+
+
 class FMT(nn.Module):
     """Ref path: self-attention stack returning per-layer features; src path:
-    alternating self / cross(ref) layers. Inputs channels-last (N, H, W, C)."""
+    alternating self / cross(ref) layers. Inputs channels-last (N, H, W, C).
+
+    ``pe_type``: 'sine' (reference default, ``FMT.py:126``) or 'superglue'
+    (the learned keypoint-MLP variant, ``FMT.py:125``)."""
 
     d_model: int = 32
     n_heads: int = 8
     layer_names: Sequence[str] = ("self", "cross") * 4
+    pe_type: str = "sine"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.layers = [EncoderLayer(self.d_model, self.n_heads, self.dtype,
                                     name=f"layer_{i}")
                        for i in range(len(self.layer_names))]
+        if self.pe_type == "superglue":
+            self.pos_encoding = PositionEncodingSuperGlue(
+                self.d_model, dtype=self.dtype, name="pos_encoding")
+        elif self.pe_type != "sine":
+            raise ValueError(f"unknown pe_type {self.pe_type!r}")
 
     def _flatten_pe(self, feat):
         N, H, W, C = feat.shape
+        if self.pe_type == "superglue":
+            return self.pos_encoding(feat).reshape(N, H * W, C)
         pe = sine_position_encoding_2d(C, H, W, feat.dtype)
         return (feat + pe).reshape(N, H * W, C)
 
@@ -129,11 +181,13 @@ class FMTWithPathway(nn.Module):
     """Apply FMT at stage 1 and propagate down the feature pyramid."""
 
     base_channels: int = 8
+    pe_type: str = "sine"
     dtype: Any = jnp.float32
 
     def setup(self):
         bc = self.base_channels
-        self.fmt = FMT(d_model=4 * bc, dtype=self.dtype, name="FMT")
+        self.fmt = FMT(d_model=4 * bc, pe_type=self.pe_type,
+                       dtype=self.dtype, name="FMT")
         self.dim_reduction_1 = nn.Conv(2 * bc, (1, 1), use_bias=False,
                                        dtype=self.dtype)
         self.dim_reduction_2 = nn.Conv(bc, (1, 1), use_bias=False,

@@ -42,6 +42,9 @@ class TransMVSNetConfig:
     base_channels: int = 8
     cr_base_chs: Tuple[int, ...] = (8, 8, 8)
     grad_method: str = "detach"
+    # FMT positional encoding: 'sine' (reference default, FMT.py:126) or
+    # 'superglue' (the learned keypoint-MLP variant, FMT.py:125)
+    fmt_pe_type: str = "sine"
 
     @property
     def num_stage(self) -> int:
@@ -231,6 +234,7 @@ class TransMVSNet(nn.Module):
     def setup(self):
         self.feature = FeatureNet(self.cfg.base_channels, dtype=self.dtype)
         self.fmt_pathway = FMTWithPathway(self.cfg.base_channels,
+                                          pe_type=self.cfg.fmt_pe_type,
                                           dtype=self.dtype,
                                           name="FMT_with_pathway")
         self.cost_regularization = [

@@ -47,6 +47,13 @@ def reduce_scalar_dict(scalars: Mapping[str, float],
 
     if jax.process_count() == 1:
         return {k: float(v) for k, v in scalars.items()}
+    return _allgather_reduce(scalars, average)
+
+
+def _allgather_reduce(scalars: Mapping[str, float],
+                      average: bool = True) -> Dict[str, float]:
+    """The multihost reduction core (directly testable single-process:
+    ``process_allgather`` then degenerates to a (1, K) identity gather)."""
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
 

@@ -65,3 +65,30 @@ def cost_analysis(fn: Callable, *args) -> Dict[str, float]:
     return {"flops": float(ca.get("flops", 0.0)),
             "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
             "transcendentals": float(ca.get("transcendentals", 0.0))}
+
+
+def assert_honest_sync(min_floor_s: float = 0.0) -> float:
+    """Timing-honesty guard: measure a trivial jitted program with the same
+    sync path ``time_fn`` uses and verify the measurement machinery blocks.
+
+    On the TPU relay a trivial program still pays the fixed per-call RPC
+    latency (~tens of ms); a measured time of ~0 would mean the sync became
+    a no-op and every downstream number is fiction. Callers on the relay
+    should pass ``min_floor_s`` (e.g. 1e-3); on local backends the check
+    reduces to "sync returns a real value and time is positive".
+
+    Returns the measured trivial-program time in seconds.
+    """
+    f = jax.jit(lambda x: x * 2.0 + 1.0)
+    x = jnp.ones((8,), jnp.float32)
+    val = sync(f(x))  # warms up AND validates the value round-trips
+    assert val == 24.0, f"sync returned wrong value {val}"
+    t0 = time.perf_counter()
+    for i in range(3):
+        sync(f(x + i))  # vary input: relay result caches can't serve it
+    dt = (time.perf_counter() - t0) / 3
+    assert dt > min_floor_s, (
+        f"trivial-program synced time {dt * 1e3:.3f} ms is below the floor "
+        f"{min_floor_s * 1e3:.3f} ms — the host sync is not blocking; "
+        "timing numbers would be meaningless")
+    return dt

@@ -95,3 +95,15 @@ def test_reduce_scalar_dict_and_synchronize_single_process():
     out = reduce_scalar_dict({"a": 1.5, "b": 2.0})
     assert out == {"a": 1.5, "b": 2.0}
     synchronize()  # no-op, must not raise
+
+
+def test_assert_honest_sync_guard():
+    """The timing guard passes on a working backend and actually measures
+    nonzero wall time; with an absurd floor it must trip."""
+    import pytest
+    from diner_tpu.utils import profiling
+
+    dt = profiling.assert_honest_sync(min_floor_s=0.0)
+    assert dt > 0
+    with pytest.raises(AssertionError):
+        profiling.assert_honest_sync(min_floor_s=1e9)

@@ -100,3 +100,38 @@ def test_evaluate_folder_protocol(tmp_path):
         detail = json.load(f)
     assert len(detail) == 3
     assert (out / "examples.png").exists()
+
+
+def test_compare_evaluations_plots(tmp_path):
+    """compare_evaluations writes the comparison JSON, the violin plot
+    (reference eval_suite.py:141-199) and the biggest-difference error-map
+    plots (:281-385) for reference-style (name, dir) inputs."""
+    import imageio.v2 as imageio
+    from diner_tpu.evaluation.suite import compare_evaluations
+
+    rng = np.random.RandomState(3)
+    eval_dirs = []
+    for model, sigma in (("modelA", 5), ("modelB", 30)):
+        vis = tmp_path / model / "vis"
+        vis.mkdir(parents=True)
+        g = np.random.RandomState(0)  # same gt across models
+        for i in range(4):
+            gt = (g.rand(16, 16, 3) * 255).astype(np.uint8)
+            pred = np.clip(gt.astype(float) + rng.randn(16, 16, 3) * sigma,
+                           0, 255).astype(np.uint8)
+            imageio.imwrite(vis / f"s{i:03d}-gt.png", gt)
+            imageio.imwrite(vis / f"s{i:03d}-pred.png", pred)
+            imageio.imwrite(vis / f"s{i:03d}-ref.png", gt)
+        out = tmp_path / model / "scores"
+        evaluate_folder(vis, out, lpips_params=None)
+        eval_dirs.append((model, out))
+
+    cmp_dir = tmp_path / "cmp"
+    result = compare_evaluations(eval_dirs, cmp_dir)
+    assert result["best"]["psnr"] == "modelA"
+    assert (cmp_dir / "comparison.json").exists()
+    assert (cmp_dir / "average_scores.png").exists()
+    assert (cmp_dir / "biggest_difference_psnr_1.png").exists()
+    # plain-dir form still works
+    result2 = compare_evaluations([d for _, d in eval_dirs], cmp_dir)
+    assert set(result2["models"]) == {"scores"} or len(result2["models"]) >= 1

@@ -251,3 +251,64 @@ def test_featurenet_view_batching_matches_per_view():
             np.testing.assert_allclose(
                 np.asarray(f.reshape((B, V) + f.shape[1:])[:, v]),
                 np.asarray(per_view[stage]), rtol=1e-6, atol=1e-6)
+
+
+def test_superglue_pe_matches_true_reference():
+    """PositionEncodingSuperGlue == the reference's own module
+    (deps/TransMVSNet/models/position_encoding.py:6-21), weights converted
+    from the instantiated torch module, eval-mode BN."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_position_encoding",
+        "/root/reference/deps/TransMVSNet/models/position_encoding.py")
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    torch.manual_seed(0)
+    d_model = 32
+    ref = ref_mod.PositionEncodingSuperGule(d_model)
+    ref.eval()
+
+    N, H, W = 2, 12, 16
+    x = np.random.RandomState(0).randn(N, d_model, H, W).astype(np.float32)
+    out_ref = ref(torch.from_numpy(x)).detach().numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def lin(prefix):
+        return {"kernel": sd[prefix + ".weight"][:, :, 0].T,
+                "bias": sd[prefix + ".bias"]}
+
+    def bn(prefix):
+        return ({"scale": sd[prefix + ".weight"],
+                 "bias": sd[prefix + ".bias"]},
+                {"mean": sd[prefix + ".running_mean"],
+                 "var": sd[prefix + ".running_var"]})
+
+    bn0_p, bn0_s = bn("kenc.encoder.1")
+    bn1_p, bn1_s = bn("kenc.encoder.4")
+    variables = {
+        "params": {"mlp_0": lin("kenc.encoder.0"), "bn_0": bn0_p,
+                   "mlp_1": lin("kenc.encoder.3"), "bn_1": bn1_p,
+                   "mlp_out": lin("kenc.encoder.6")},
+        "batch_stats": {"bn_0": bn0_s, "bn_1": bn1_s},
+    }
+
+    from diner_tpu.mvs.fmt import PositionEncodingSuperGlue
+
+    ours = PositionEncodingSuperGlue(d_model)
+    out_j = ours.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    out_j = np.transpose(np.asarray(out_j), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_j, out_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_fmt_superglue_pe_switch():
+    """FMTWithPathway(pe_type='superglue') initializes and runs."""
+    from diner_tpu.mvs.fmt import FMT
+
+    fmt = FMT(d_model=8, n_heads=2, pe_type="superglue")
+    x = jnp.ones((1, 4, 6, 8))
+    variables = fmt.init(jax.random.PRNGKey(0), x)
+    outs = fmt.apply(variables, x)
+    assert len(outs) == 4 and outs[0].shape == x.shape

@@ -64,3 +64,30 @@ def test_mesh_shapes():
     assert mesh.shape["data"] * mesh.shape["rays"] == 8
     mesh = make_mesh(8, data_parallel=1)
     assert mesh.shape["rays"] == 8
+
+
+def test_multihost_meter_reduction_and_barrier():
+    """Execute the multihost reduction core of utils/meters.py
+    (process_allgather + mean/sum) and the barrier on the virtual mesh;
+    with one real process the gather is a (1, K) identity, so values must
+    round-trip exactly."""
+    from diner_tpu.utils import meters
+
+    # single-process fast path
+    out = meters.reduce_scalar_dict({"a": 1.5, "b": 2.0})
+    assert out == {"a": 1.5, "b": 2.0}
+
+    # multihost core (real process_allgather call)
+    out = meters._allgather_reduce({"a": 1.5, "b": 2.0})
+    assert abs(out["a"] - 1.5) < 1e-6 and abs(out["b"] - 2.0) < 1e-6
+    out = meters._allgather_reduce({"a": 3.0}, average=False)
+    assert abs(out["a"] - 3.0) < 1e-6
+    meters.synchronize("test-barrier")  # must not raise
+
+
+def test_dryrun_multichip_entry():
+    """The driver's dryrun_multichip contract: N train steps + eval step
+    over an 8-device virtual mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

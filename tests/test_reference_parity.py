@@ -1,0 +1,241 @@
+"""Parity against the ACTUAL reference code in ``/root/reference``.
+
+Unlike ``tests/test_full_parity.py`` (which compares against torch
+re-statements authored alongside the framework), these tests import and run
+the reference's own modules — ``src/models/nerf_renderer.py``,
+``src/models/pixelnerf.py``, ``src/models/image_encoder.py``,
+``src/models/resnetfc.py``, ``src/models/positional_encoding.py``,
+``src/util/depth2normal.py`` — via the minimal shims in
+``tests/ref_shims.py``, so a shared misreading of the reference cannot slip
+through.
+
+Covered, per stage (reference file:line):
+  - stratified + depth-guided sampling   nerf_renderer.py:39-284
+  - uniform fill-up                      nerf_renderer.py:367-397
+  - compositing                          nerf_renderer.py:286-365
+  - full forward()                       nerf_renderer.py:399-424
+  - PixelNeRF encode/field               pixelnerf.py:35-145
+  - SpatialEncoder + padded-PE ring      image_encoder.py:30-273
+  - ResnetFC / PositionalEncoding        resnetfc.py / positional_encoding.py
+
+Randomness: the reference draws inline (``torch.rand_like``/``randn_like``);
+``RNGTap`` records the actual draws so the identical noise is fed to the
+framework's explicit-RNG entry points, making outputs directly comparable.
+
+The flagship configuration (resnet34, d_hidden 512, image_padding 64 — the
+reference DTU recipe, ``configs/train_dtu.yaml``) runs as a ``slow`` test;
+a structurally identical small configuration runs in the default tier.
+"""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from tests import ref_shims
+
+ref_shims.install()
+
+from dotmap import DotMap  # noqa: E402  (shim)
+from src.models.nerf_renderer import NeRFRendererDGS  # noqa: E402
+from src.models.pixelnerf import PixelNeRF as RefPixelNeRF  # noqa: E402
+from src.models.resnetfc import ResnetFC as RefResnetFC  # noqa: E402
+from src.models.positional_encoding import (  # noqa: E402
+    PositionalEncoding as RefPositionalEncoding,
+)
+
+from diner_tpu.data.synthetic import make_sphere_scene  # noqa: E402
+from diner_tpu.geometry import gen_rays  # noqa: E402
+from diner_tpu.models.pixelnerf import PixelNeRF, PixelNeRFConfig  # noqa: E402
+from diner_tpu.nn.positional_encoding import PositionalEncoding  # noqa: E402
+from diner_tpu.nn.resnetfc import ResnetFC  # noqa: E402
+from diner_tpu.nn.spatial_encoder import SpatialEncoderConfig  # noqa: E402
+from diner_tpu.ops.composite import composite  # noqa: E402
+from diner_tpu.ops.sampling import (  # noqa: E402
+    fill_up_uniform,
+    sample_depthguided,
+)
+from diner_tpu.utils.torch_convert import (  # noqa: E402
+    convert_pixelnerf,
+    convert_resnetfc,
+)
+
+
+def test_reference_positional_encoding_parity():
+    """Framework PositionalEncoding == the reference's fused sin(addcmul)."""
+    ref = RefPositionalEncoding(num_freqs=6, d_in=3, freq_factor=6.28,
+                                include_input=True)
+    ours = PositionalEncoding(6, 3, 6.28, True)
+    x = np.random.RandomState(0).randn(4, 17, 3).astype(np.float32)
+    out_ref = ref(torch.from_numpy(x)).numpy()
+    out_j = np.asarray(ours(jnp.asarray(x)))
+    assert ours.d_out == ref.d_out
+    # f32 sin() of large phases (freq_factor·2^5·x) differs by a few ULP
+    # between XLA and torch — 1e-4 is tight for that regime.
+    np.testing.assert_allclose(out_j, out_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_reference_resnetfc_parity():
+    """Framework ResnetFC (+ converter) == the reference ResnetFC forward,
+    including the mean view-fusion at combine_layer."""
+    torch.manual_seed(0)
+    d_latent, d_in, d_hidden = 24, 39, 32
+    ref = RefResnetFC(d_in=d_in, d_out=4, n_blocks=5, d_latent=d_latent,
+                      d_hidden=d_hidden, combine_layer=3)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_resnetfc(sd, n_blocks=5, combine_layer=3)
+
+    ours = ResnetFC(d_in=d_in, d_out=4, n_blocks=5, d_latent=d_latent,
+                    d_hidden=d_hidden, combine_layer=3)
+    zx = np.random.RandomState(1).randn(2, 3, 50, d_latent + d_in)
+    zx = zx.astype(np.float32)
+    out_ref = ref(torch.from_numpy(zx), combine_dim=1).detach().numpy()
+    out_j = np.asarray(ours.apply(variables, jnp.asarray(zx)))
+    np.testing.assert_allclose(out_j, out_ref, atol=2e-5, rtol=2e-5)
+
+
+def _build_reference_diner(backbone, d_hidden, image_padding):
+    """Instantiate the reference PixelNeRF exactly as the config system
+    does (diner.py:47-48 + configs/train_dtu.yaml:31-58)."""
+    poscode_conf = DotMap(
+        kwargs=dict(num_freqs=6, freq_factor=6.28, include_input=True))
+    encoder_conf = DotMap(
+        module="src.models.image_encoder.SpatialEncoder",
+        kwargs=dict(backbone=backbone, pretrained=False, num_layers=4,
+                    image_padding=image_padding, padding_pe=4))
+    mlp_conf = DotMap(
+        module="src.models.resnetfc.ResnetFC",
+        kwargs=dict(n_blocks=5, d_hidden=d_hidden, combine_layer=3))
+    return RefPixelNeRF(poscode_conf, encoder_conf, mlp_conf)
+
+
+def _pipeline_parity(backbone, blocks, d_hidden, image_padding, H, nv,
+                     NR, n_cand, n_samples, n_gauss,
+                     rgb_tol, grad_tol):
+    W = H
+    batch = make_sphere_scene(H=H, W=W, nv=nv)
+    SB = 1
+
+    # ---------------- reference side (the actual /root/reference code) ----
+    torch.manual_seed(0)
+    ref = _build_reference_diner(backbone, d_hidden, image_padding)
+    ref.eval()  # frozen BN stats on both sides
+    renderer = NeRFRendererDGS(n_samples=n_samples,
+                               n_depth_candidates=n_cand,
+                               n_gaussian=n_gauss, white_bkgd=False)
+
+    to_nchw = lambda a: torch.from_numpy(
+        np.transpose(np.asarray(a), (0, 1, 4, 2, 3))).clone()
+    imgs_t = to_nchw(batch["src_rgbs"]).requires_grad_(True)
+    depths_t = to_nchw(batch["src_depths"])
+    stds_t = to_nchw(batch["src_depth_stds"])
+    extr_t = torch.from_numpy(np.asarray(batch["src_extrinsics"]))
+    intr_t = torch.from_numpy(np.asarray(batch["src_intrinsics"]))
+    ref.encode(imgs_t, depths_t, stds_t, extr_t, intr_t)
+
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    W, H, batch["znear"], batch["zfar"]).reshape(1, H * W, 8)
+    center = (H // 2) * W + W // 2
+    rays_np = np.asarray(rays[:, center - NR // 2: center + NR // 2])
+    rays_t = torch.from_numpy(rays_np)
+
+    with ref_shims.RNGTap() as tap:
+        torch.manual_seed(1)
+        z_dg = renderer.sample_depthguided(
+            rays_t, ref, n_samples=n_samples, n_candidates=n_cand,
+            n_gaussian=n_gauss)
+        z_t = renderer.fill_up_uniform_samples(z_dg.clone(), rays_t)
+        weights_t, rgb_t, depth_t = renderer.composite(ref, rays_t, z_t)
+
+    assert (z_dg != 0).any(), "sampler found no surface — bad test scene"
+
+    # the reference's own forward() is the composition of those three stages
+    with ref_shims.RNGTap().replay(tap.rand_calls, tap.randn_calls):
+        out = renderer.forward(ref, rays_t, want_weights=True)
+    torch.testing.assert_close(out.fine.rgb, rgb_t)
+    torch.testing.assert_close(out.fine.depth, depth_t)
+
+    loss_t = rgb_t.sum()
+    loss_t.backward()
+    grad_t = imgs_t.grad.numpy()
+
+    # ---------------- reconstruct the reference's RNG draws ---------------
+    assert len(tap.rand_calls) == 2  # coarse jitter + fill-up uniforms
+    u_coarse = tap.rand_calls[0].numpy().reshape(SB, NR, n_cand)
+    ray_mask = (z_dg[..., 0] != 0).numpy()  # == any(likelihood != 0)
+    gauss_full = np.zeros((SB, NR, n_gauss), np.float32)
+    if tap.randn_calls:
+        gauss_full[ray_mask] = tap.randn_calls[0].numpy()
+    z_sorted = np.sort(z_dg.numpy(), -1).reshape(SB * NR, n_samples)
+    iray, isamp = np.where(z_sorted == 0.0)
+    u_fill = np.zeros((SB * NR, n_samples), np.float32)
+    u_fill[iray, isamp] = tap.rand_calls[1].numpy()
+    u_fill = u_fill.reshape(SB, NR, n_samples)
+
+    # ---------------- framework side with converted reference weights -----
+    cfg = PixelNeRFConfig(
+        encoder=SpatialEncoderConfig(backbone=backbone, num_layers=4,
+                                     image_padding=image_padding,
+                                     padding_pe=4),
+        d_hidden=d_hidden)
+    model = PixelNeRF(cfg=cfg)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_pixelnerf(sd, n_blocks=5, combine_layer=3,
+                                  num_layers=4, backbone_blocks=blocks)
+
+    def render(src_rgbs):
+        ctx = model.apply(variables, src_rgbs, batch["src_depths"],
+                          batch["src_depth_stds"], batch["src_extrinsics"],
+                          batch["src_intrinsics"], train=False,
+                          method="encode")
+        z = sample_depthguided(jnp.asarray(rays_np), ctx.view_maps(),
+                               n_samples, n_cand, jnp.asarray(u_coarse),
+                               jnp.asarray(gauss_full), n_gauss)
+        z = fill_up_uniform(z, jnp.asarray(rays_np), jnp.asarray(u_fill))
+        K = n_samples
+        pts = (jnp.asarray(rays_np)[..., None, :3]
+               + z[..., None] * jnp.asarray(rays_np)[..., None, 3:6])
+        vd = jnp.broadcast_to(jnp.asarray(rays_np)[..., None, 3:6], pts.shape)
+        out = model.apply(variables, ctx, pts.reshape(1, NR * K, 3),
+                          vd.reshape(1, NR * K, 3), method="field")
+        out = out.reshape(1, NR, K, 4)
+        comp = composite(out[..., :3], out[..., 3], z, jnp.asarray(rays_np),
+                         white_bkgd=False)
+        return comp.rgb, comp.depth, z
+
+    rgb_j, depth_j, z_j = render(batch["src_rgbs"])
+
+    # stage parities vs the reference's own intermediates
+    np.testing.assert_allclose(np.asarray(z_j), z_t.detach().numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.detach().numpy(),
+                               atol=rgb_tol, rtol=rgb_tol)
+    np.testing.assert_allclose(np.asarray(depth_j), depth_t.detach().numpy(),
+                               atol=rgb_tol, rtol=rgb_tol)
+
+    # input-pixel gradient parity (normalized to the reference grad scale)
+    grad_j = jax.grad(lambda s: jnp.sum(render(s)[0]))(
+        jnp.asarray(batch["src_rgbs"]))
+    grad_j = np.transpose(np.asarray(grad_j), (0, 1, 4, 2, 3))
+    scale = max(np.abs(grad_t).max(), 1e-8)
+    np.testing.assert_allclose(grad_j / scale, grad_t / scale, atol=grad_tol)
+
+
+def test_reference_pipeline_parity_small():
+    """Default-tier true-reference parity (resnet18-sized encoder)."""
+    _pipeline_parity(backbone="resnet18", blocks=(2, 2, 2, 2), d_hidden=64,
+                     image_padding=8, H=24, nv=2, NR=16, n_cand=120,
+                     n_samples=12, n_gauss=4, rgb_tol=2e-3, grad_tol=5e-3)
+
+
+@pytest.mark.slow
+def test_reference_pipeline_parity_flagship():
+    """Flagship-config parity: resnet34, d_hidden 512, image_padding 64 —
+    the reference DTU training configuration (configs/train_dtu.yaml),
+    where the padded-ring PE indexing and multi-scale upsampling actually
+    bite (VERDICT round-1 item 1)."""
+    _pipeline_parity(backbone="resnet34", blocks=(3, 4, 6, 3), d_hidden=512,
+                     image_padding=64, H=64, nv=4, NR=16, n_cand=250,
+                     n_samples=16, n_gauss=6, rgb_tol=5e-3, grad_tol=1e-2)
