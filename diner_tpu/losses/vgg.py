@@ -59,18 +59,24 @@ def init_vgg19_params(seed: int = 0):
 SLICE_WEIGHTS = (1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 
-def vgg_loss(vgg_params, pred, target):
+def vgg_loss(vgg_params, pred, target, dtype=jnp.float32):
     """Perceptual L1 between feature slices.
 
     Args:
       vgg_params: VGG19Features params (frozen; pass through
         ``jax.lax.stop_gradient`` upstream if they live in the train state).
       pred, target: (N, H, W, 3) RGB in [0, 1].
+      dtype: conv compute dtype — pass bf16 to run the frozen perceptual
+        net in mixed precision (per-slice means still reduce in f32).
     """
-    model = VGG19Features()
-    fx = model.apply({"params": vgg_params}, normalize_imagenet(pred))
-    fy = model.apply({"params": vgg_params}, normalize_imagenet(target))
+    model = VGG19Features(dtype=dtype)
+    fx = model.apply({"params": vgg_params},
+                     normalize_imagenet(pred).astype(dtype))
+    fy = model.apply({"params": vgg_params},
+                     normalize_imagenet(target).astype(dtype))
     loss = 0.0
     for w, a, b in zip(SLICE_WEIGHTS, fx, fy):
-        loss = loss + w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+        diff = jnp.abs(a.astype(jnp.float32)
+                       - jax.lax.stop_gradient(b).astype(jnp.float32))
+        loss = loss + w * jnp.mean(diff)
     return loss

@@ -181,7 +181,7 @@ def compute_losses(model: PixelNeRF, cfg: DinerConfig, params, batch_stats,
         pred_img = out.rgb.reshape(SB, s, s, 3)
         gt_img = gt.reshape(SB, s, s, 3)
         loss_vgg = vgg_loss(jax.lax.stop_gradient(vgg_params),
-                            pred_img, gt_img)
+                            pred_img, gt_img, dtype=model.dtype)
         total = total + cfg.w_vgg * loss_vgg
         metrics["vgg_fine"] = loss_vgg
         if cfg.w_antibias > 0:

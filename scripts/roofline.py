@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """MFU / speed-of-light accounting for the DINER training step on one chip.
 
-For each stage of the hot path (encode, sampler, field MLP, composite,
-VGG loss, full MSE step, full production step) this measures:
-  - XLA cost analysis: FLOPs + bytes accessed (cost_analysis of the
-    compiled program, SURVEY §5 prescription);
-  - amortized wall time (N in-graph repetitions via lax.scan, one honest
+For each stage of the hot path (encode, sampler, field MLP, full render,
+VGG loss, full MSE step, full production step) this measures, from ONE
+AOT-compiled program per stage (compiles on this relay cost minutes, so the
+same executable serves both numbers):
+  - XLA cost analysis: FLOPs + bytes accessed (SURVEY §5 prescription);
+  - amortized wall time (REPS in-graph repetitions via lax.scan, one honest
     host-transfer sync — see BENCH.md "Timing methodology");
-  - % of the measured device roof: compute-bound stages against the bf16
-    matmul roof, gather stages against the measured HBM copy bandwidth.
+  - % of the measured device roof: compute stages against the bf16 matmul
+    roof, gather-bound stages against measured HBM stream bandwidth.
 
-Outputs a JSON artifact (ROOFLINE_r02.json) and a markdown table for
-BENCH.md. Run on the TPU:  python scripts/roofline.py
+Progress prints per stage (compiles are slow); final JSON lands in
+ROOFLINE_r02.json plus a markdown table for BENCH.md.
+Run on the TPU:  python -u scripts/roofline.py
 """
 
 import json
@@ -32,53 +34,49 @@ def _sync(x):
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]).astype(jnp.float32))
 
 
-def _amortized_ms(fn, *args, reps=REPS, iters=3):
-    """Scan fn reps× in one jit (threading a carry so XLA can't CSE), sync
-    once; returns ms per rep."""
+def _measure(fn, carry0, *consts, reps=REPS, iters=3):
+    """AOT-compile a reps× scan chain of fn once; return (ms_per_rep,
+    flops_per_rep, bytes_per_rep) from the same executable.
 
-    def run(c, _):
-        c = fn(c, *args[1:])
-        return c, ()
+    Large operands (scene context, ray batches) MUST be passed via
+    ``consts`` — a closed-over array is embedded as an HLO constant and
+    blows the relay's remote-compile request limit (HTTP 413).
+    """
 
-    @jax.jit
-    def chain(c):
-        c, _ = jax.lax.scan(run, c, None, length=reps)
+    def chain(c, *k):
+        def body(c, _):
+            return fn(c, *k), ()
+        c, _ = jax.lax.scan(body, c, None, length=reps)
         return c
 
-    c = chain(args[0])
+    t0 = time.perf_counter()
+    compiled = jax.jit(chain).lower(carry0, *consts).compile()
+    compile_s = time.perf_counter() - t0
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", 0.0)) / reps
+    bytes_ = float(ca.get("bytes accessed", 0.0)) / reps
+
+    c = compiled(carry0, *consts)
     _sync(c)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        c = chain(c)
+        c = compiled(c, *consts)
         _sync(c)
         times.append(time.perf_counter() - t0)
-    return min(times) * 1e3 / reps
-
-
-def _cost(fn, *args):
-    ca = jax.jit(fn).lower(*args).compile().cost_analysis() or {}
-    return (float(ca.get("flops", 0.0)),
-            float(ca.get("bytes accessed", 0.0)))
+    return min(times) * 1e3 / reps, flops, bytes_, compile_s
 
 
 def measure_roofs():
-    """Measured device ceilings: bf16 matmul TFLOP/s and HBM stream GB/s."""
+    """Measured ceilings: bf16 matmul TFLOP/s and HBM stream GB/s."""
     n = 4096
     a = jnp.ones((n, n), jnp.bfloat16)
-
-    def mm(c):
-        return (c @ a).astype(jnp.bfloat16)
-
-    ms = _amortized_ms(lambda c: mm(c), a, reps=16)
+    ms, *_ = _measure(lambda c, aa: (c @ aa).astype(jnp.bfloat16), a, a,
+                      reps=16)
     tflops = 2 * n ** 3 / (ms * 1e-3) / 1e12
 
     big = jnp.ones((64, 1024, 1024), jnp.float32)  # 256 MB
-
-    def cp(c):
-        return c + 1.0
-
-    ms_cp = _amortized_ms(lambda c: cp(c), big, reps=16)
+    ms_cp, *_ = _measure(lambda c: c + 1.0, big, reps=16)
     gbps = 2 * big.size * 4 / (ms_cp * 1e-3) / 1e9  # read + write
     return tflops, gbps
 
@@ -97,6 +95,7 @@ def main():
 
     backend = jax.default_backend()
     assert_honest_sync(min_floor_s=1e-3 if backend != "cpu" else 0.0)
+    print(f"backend={backend}", flush=True)
 
     cfg = DinerConfig(
         nerf=PixelNeRFConfig(
@@ -113,17 +112,15 @@ def main():
     batch = make_sphere_scene(H=512, W=640, nv=4)
     model, state = create_state(cfg, jax.random.PRNGKey(0), batch)
     vggp = init_vgg19_params()
-    _, prod_state = create_state(prod_cfg, jax.random.PRNGKey(0), batch,
-                                 vgg_params=vggp)
+    prod_state = state.replace(vgg_params=vggp)
+    print("state ready", flush=True)
 
     H, W = 512, 640
     SB = 1
     znear = jnp.full((SB,), cfg.znear)
     zfar = jnp.full((SB,), cfg.zfar)
-    rays_full = gen_rays(batch["target_extrinsics"],
-                         batch["target_intrinsics"], W, H, znear,
-                         zfar).reshape(SB, H * W, 8)
-    rays = rays_full[:, : RAYS]
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    W, H, znear, zfar).reshape(SB, H * W, 8)[:, : RAYS]
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -137,105 +134,118 @@ def main():
         return ctx
 
     ctx0 = jax.jit(encode)(state.params)
+    print("ctx ready", flush=True)
 
-    def encode_carry(c):
-        # carry a scalar through params so scan reps aren't CSE'd
-        p = jax.tree_util.tree_map(lambda t: t + c * 0.0, state.params)
+    tflops_roof, gbps_roof = measure_roofs()
+    print(f"roofs: {tflops_roof:.1f} bf16 TFLOP/s, {gbps_roof:.0f} GB/s",
+          flush=True)
+
+    rows = []
+
+    def record(name, kind, fn, carry0, *consts):
+        ms, f, b, cs = _measure(fn, carry0, *consts)
+        row = dict(stage=name, gflops=round(f / 1e9, 2),
+                   mb=round(b / 1e6, 1), ms=round(ms, 2), kind=kind,
+                   compile_s=round(cs, 1))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1. encode (carry a scalar through params so scan reps aren't CSE'd)
+    def encode_stage(c, params):
+        p = jax.tree_util.tree_map(
+            lambda t: (t + c * jnp.zeros((), t.dtype)).astype(t.dtype)
+            if jnp.issubdtype(t.dtype, jnp.floating) else t, params)
         ctx = encode(p)
         return jnp.sum(ctx.latent[0, 0, 0, 0, :8].astype(jnp.float32))
 
-    def sampler(c, r):
-        r = r + c * 0.0
+    record("encode fwd (4x512x640 resnet34+ring)", "compute",
+           encode_stage, jnp.zeros(()), state.params)
+
+    # 2. sampler
+    def sampler_stage(c, ctx, r0):
+        r = r0 + c * 0.0
         key = jax.random.PRNGKey(0)
-        u = jax.random.uniform(key, (SB, RAYS, cfg.renderer.n_depth_candidates))
+        u = jax.random.uniform(key,
+                               (SB, RAYS, cfg.renderer.n_depth_candidates))
         g = jax.random.normal(key, (SB, RAYS, cfg.renderer.n_gaussian))
         uf = jax.random.uniform(key, (SB, RAYS, cfg.renderer.n_samples))
-        z = sample_depthguided(r, ctx0.view_maps(),
-                               cfg.renderer.n_samples,
+        z = sample_depthguided(r, ctx.view_maps(), cfg.renderer.n_samples,
                                cfg.renderer.n_depth_candidates, u, g,
                                cfg.renderer.n_gaussian)
         z = fill_up_uniform(z, r, uf)
-        return c + jnp.sum(z) * 0.0 + jnp.sum(z[..., :1]) * 0.0 + c * 0.0
+        return jnp.sum(z) * 1e-9
 
+    record(f"sampler fwd ({RAYS} rays x 1000 cand, 5ch gather)", "memory",
+           sampler_stage, jnp.zeros(()), ctx0, rays)
+
+    # 3. field MLP fwd
     K = cfg.renderer.n_samples
     pts = jnp.zeros((SB, RAYS * K, 3)) + rays[:, :1, :3]
     dirs = jnp.broadcast_to(rays[:, :1, 3:6], pts.shape)
 
-    def field(c, p_, d_):
-        out = model.apply(variables, ctx0, p_ + c * 0.0, d_, method="field")
+    def field_stage(c, v, ctx, p0, d0):
+        out = model.apply(v, ctx, p0 + c * 0.0, d0, method="field")
         return jnp.sum(out.astype(jnp.float32)) * 1e-9
 
-    def render_full(c, r):
+    record(f"field MLP fwd ({RAYS * K} pts x 4 views, d=512)", "compute",
+           field_stage, jnp.zeros(()), variables, ctx0, pts, dirs)
+
+    # 4. full render fwd
+    def render_stage(c, v, ctx, r0):
         out = render_rays(
-            lambda cc, xyz, vd: model.apply(variables, cc, xyz, vd,
+            lambda cc, xyz, vd: model.apply(v, cc, xyz, vd,
                                             method="field"),
-            ctx0, r + c * 0.0, jax.random.PRNGKey(0), cfg.renderer)
+            ctx, r0 + c * 0.0, jax.random.PRNGKey(0), cfg.renderer)
         return jnp.sum(out.rgb.astype(jnp.float32)) * 1e-9
 
+    record("render fwd (sampler+field+composite)", "compute",
+           render_stage, jnp.zeros(()), variables, ctx0, rays)
+
+    # 5. VGG loss fwd (bf16 production path)
     patch = jnp.zeros((SB, 64, 64, 3), jnp.float32)
 
-    def vgg(c, a, b):
-        return vgg_loss(vggp, a + c * 0.0, b).astype(jnp.float32)
+    def vgg_stage(c, vp, pt):
+        return vgg_loss(vp, pt + c * 0.0, pt,
+                        dtype=jnp.bfloat16).astype(jnp.float32)
 
-    step_mse = make_train_step(model, cfg)
-    step_prod = make_train_step(model, prod_cfg)
+    record("VGG19 loss fwd (64x64 patch, bf16)", "compute",
+           vgg_stage, jnp.zeros(()), vggp, patch)
 
-    def full_step(st, stepper):
-        def body(s, k):
-            s2, m = stepper(s, batch, k)
-            return s2, m["total"]
-        keys = jax.random.split(jax.random.PRNGKey(1), REPS)
-        st, losses = jax.lax.scan(body, st, keys)
-        return st, losses[-1]
+    # 6/7. full steps (state carried through the scan)
+    for name, st, stepper in (
+            ("full MSE step (1024 rays, fwd+bwd+Adam)", state,
+             make_train_step(model, cfg)),
+            ("full production step (4096-ray patch, MSE+VGG+antibias)",
+             prod_state, make_train_step(model, prod_cfg))):
 
-    rows = []
+        def chain(s, b):
+            def body(s, k):
+                s2, m = stepper(s, b, k)
+                return s2, m["total"]
+            keys = jax.random.split(jax.random.PRNGKey(1), REPS)
+            s, losses = jax.lax.scan(body, s, keys)
+            return s, losses[-1]
 
-    def add(name, flops, bytes_, ms, kind):
-        rows.append(dict(stage=name, gflops=round(flops / 1e9, 2),
-                         mb=round(bytes_ / 1e6, 1), ms=round(ms, 2),
-                         kind=kind))
-
-    tflops_roof, gbps_roof = measure_roofs()
-
-    f, b = _cost(lambda: encode(state.params))
-    ms = _amortized_ms(encode_carry, jnp.zeros(()))
-    add("encode fwd (4×512×640 resnet34+ring)", f, b, ms, "compute")
-
-    f, b = _cost(lambda r: sampler(jnp.zeros(()), r), rays)
-    ms = _amortized_ms(sampler, jnp.zeros(()), rays)
-    add(f"sampler ({RAYS} rays × 1000 cand)", f, b, ms, "memory")
-
-    f, b = _cost(lambda p_, d_: field(jnp.zeros(()), p_, d_), pts, dirs)
-    ms = _amortized_ms(field, jnp.zeros(()), pts, dirs)
-    add(f"field MLP fwd ({RAYS * K} pts × 4 views)", f, b, ms, "compute")
-
-    f, b = _cost(lambda r: render_full(jnp.zeros(()), r), rays)
-    ms = _amortized_ms(render_full, jnp.zeros(()), rays)
-    add("render fwd (sampler+field+composite)", f, b, ms, "compute")
-
-    f, b = _cost(lambda a, bb: vgg(jnp.zeros(()), a, bb), patch, patch)
-    ms = _amortized_ms(vgg, jnp.zeros(()), patch, patch)
-    add("VGG19 loss fwd (64×64 patch)", f, b, ms, "compute")
-
-    for name, st, stepper in (("full MSE step (1024 rays, fwd+bwd+Adam)",
-                               state, step_mse),
-                              ("full production step (4096-ray patch, "
-                               "MSE+VGG+antibias)", prod_state, step_prod)):
-        def one(s, k):
-            s2, m = stepper(s, batch, k)
-            return s2, m["total"]
-        f, b = _cost(lambda s, k: one(s, k), st, jax.random.PRNGKey(1))
-        chain = jax.jit(lambda s: full_step(s, stepper))
-        st2, loss = chain(st)
+        t0 = time.perf_counter()
+        compiled = jax.jit(chain).lower(st, batch).compile()
+        cs = time.perf_counter() - t0
+        ca = compiled.cost_analysis() or {}
+        f = float(ca.get("flops", 0.0)) / REPS
+        b = float(ca.get("bytes accessed", 0.0)) / REPS
+        st2, loss = compiled(st, batch)
         _sync(loss)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            st2, loss = chain(st2)
+            st2, loss = compiled(st2, batch)
             _sync(loss)
             times.append(time.perf_counter() - t0)
         ms = min(times) * 1e3 / REPS
-        add(name, f, b, ms, "compute")
+        row = dict(stage=name, gflops=round(f / 1e9, 2),
+                   mb=round(b / 1e6, 1), ms=round(ms, 2), kind="compute",
+                   compile_s=round(cs, 1))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
     for r in rows:
         if r["kind"] == "compute":
@@ -252,16 +262,16 @@ def main():
         "roof_bf16_tflops": round(tflops_roof, 2),
         "roof_hbm_gbps": round(gbps_roof, 1),
         "rays": RAYS,
+        "reps_per_measurement": REPS,
         "stages": rows,
     }
     Path("ROOFLINE_r02.json").write_text(json.dumps(out, indent=2))
-    print(json.dumps(out, indent=2))
 
     print("\n| Stage | GFLOP | MB | ms | achieved | % roof |")
     print("|---|---|---|---|---|---|")
     for r in rows:
-        ach = (f"{r.get('achieved_tflops', '')} TF/s"
-               if "achieved_tflops" in r else f"{r.get('achieved_gbps')} GB/s")
+        ach = (f"{r['achieved_tflops']} TF/s" if "achieved_tflops" in r
+               else f"{r['achieved_gbps']} GB/s")
         print(f"| {r['stage']} | {r['gflops']} | {r['mb']} | {r['ms']} "
               f"| {ach} | {r['pct_roof']}% |")
 

@@ -105,3 +105,15 @@ def test_vgg_loss_runs_and_differentiates():
     g = jax.grad(lambda p: vgg_loss(params, p, y))(x)
     assert float(jnp.linalg.norm(g)) > 0
     assert float(vgg_loss(params, y, y)) == 0.0
+
+
+def test_vgg_loss_bf16_close_to_f32():
+    """Mixed-precision VGG path (production recipe) tracks the f32 loss."""
+    import jax.numpy as jnp
+    params = init_vgg19_params(0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    f32 = float(vgg_loss(params, x, y))
+    bf16 = float(vgg_loss(params, x, y, dtype=jnp.bfloat16))
+    assert abs(f32 - bf16) / max(abs(f32), 1e-8) < 0.05
