@@ -248,14 +248,17 @@ def main():
         print(json.dumps(row), flush=True)
 
     for r in rows:
+        # GFLOP / ms == TFLOP/s; MB / ms == GB/s
+        r["achieved_tflops"] = round(r["gflops"] / r["ms"], 2)
+        r["logical_gbps"] = round(r["mb"] / r["ms"], 1)
         if r["kind"] == "compute":
-            ach = r["gflops"] / r["ms"] / 1e3  # TFLOP/s
-            r["pct_roof"] = round(100 * ach / tflops_roof, 1)
-            r["achieved_tflops"] = round(ach, 2)
+            r["pct_roof"] = round(100 * r["achieved_tflops"] / tflops_roof, 1)
         else:
-            ach = r["mb"] / 1e3 / (r["ms"] * 1e-3)  # GB/s
-            r["pct_roof"] = round(100 * ach / gbps_roof, 1)
-            r["achieved_gbps"] = round(ach, 1)
+            # NOTE: XLA 'bytes accessed' is LOGICAL (per-instruction operand
+            # accounting); it can exceed physical HBM traffic several-fold.
+            # pct_roof for memory stages is vs the stream roof on logical
+            # bytes — interpret with the hand counts in BENCH.md.
+            r["pct_roof"] = round(100 * r["logical_gbps"] / gbps_roof, 1)
 
     out = {
         "backend": backend,
@@ -270,10 +273,9 @@ def main():
     print("\n| Stage | GFLOP | MB | ms | achieved | % roof |")
     print("|---|---|---|---|---|---|")
     for r in rows:
-        ach = (f"{r['achieved_tflops']} TF/s" if "achieved_tflops" in r
-               else f"{r['achieved_gbps']} GB/s")
         print(f"| {r['stage']} | {r['gflops']} | {r['mb']} | {r['ms']} "
-              f"| {ach} | {r['pct_roof']}% |")
+              f"| {r['achieved_tflops']} TF/s / {r['logical_gbps']} GB/s "
+              f"| {r['pct_roof']}% |")
 
 
 if __name__ == "__main__":

@@ -2,6 +2,7 @@
 VGG path, bicubic resize parity."""
 
 import numpy as np
+import pytest
 import torch
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def test_profiling_harness():
     assert ca["flops"] >= 2 * 64 ** 3 * 0.5  # at least the matmul
 
 
+@pytest.mark.slow
 def test_novel_train_step_runs():
     from diner_tpu.models.novel.model import NovelPixelNeRFConfig
     from diner_tpu.models.novel.train import (

@@ -1,5 +1,7 @@
 """End-to-end test: reference-format torch .ckpt -> orbax via the CLI."""
 
+import pytest
+
 import subprocess
 import sys
 from pathlib import Path
@@ -9,6 +11,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_cli(tmp_path):
     torch = __import__("torch")
     sys.path.insert(0, str(REPO / "tests"))

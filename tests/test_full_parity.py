@@ -7,6 +7,8 @@ This is BASELINE.json config 1: rendered images and input-pixel gradients
 allclose against the (CPU-runnable) reference math.
 """
 
+import pytest
+
 import math
 
 import numpy as np
@@ -150,6 +152,7 @@ def _torch_composite(model, rays, z):
     return rgb, depth
 
 
+@pytest.mark.slow
 def test_full_render_parity_images_and_gradients():
     H = W = 24
     NR, n_cand, n_samples, n_gauss = 16, 120, 12, 4

@@ -2,6 +2,8 @@
 (importance sampling, compositing, ray-bbox clipping, keypoint encoding),
 IBR head properties, and an end-to-end render + train-step smoke."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -199,6 +201,7 @@ def _tiny_cfg():
         lambda_vgg=0.0)
 
 
+@pytest.mark.slow
 def test_keypointnerf_train_step_smoke():
     batch = _toy_batch()
     cfg = _tiny_cfg()

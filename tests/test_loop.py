@@ -1,6 +1,8 @@
 """End-to-end trainer-loop tests on the synthetic config: fit, checkpoint,
 resume, validation artifacts (prediction folder + scores + cam sweep)."""
 
+import pytest
+
 import json
 from pathlib import Path
 
@@ -30,6 +32,7 @@ def _cfg(tmp_path, **overrides):
     return p
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_resume(tmp_path):
     cfgp = _cfg(tmp_path)
     run_cfg = load_train_config(cfgp)
@@ -48,6 +51,7 @@ def test_fit_checkpoint_resume(tmp_path):
     assert "rgb_fine" in logs
 
 
+@pytest.mark.slow
 def test_validation_artifacts(tmp_path):
     cfgp = _cfg(tmp_path)
     run_cfg = load_train_config(cfgp)

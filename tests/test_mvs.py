@@ -140,6 +140,7 @@ def test_sine_pe_matches_reference():
     np.testing.assert_allclose(pe[2, 3, 3], np.cos(3 * div[0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_transmvsnet_forward_and_loss():
     # ndepths must be divisible by the 3-D UNet's 8x downsampling, as in
     # the reference configs (48/32/8, 96/64/16)
@@ -233,6 +234,7 @@ def test_entropy_loss_matches_reference():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_featurenet_view_batching_matches_per_view():
     """The batched (B*V) FeatureNet call must equal the reference's
     per-view loop exactly with frozen BN stats (model.py view batching)."""

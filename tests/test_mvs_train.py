@@ -1,5 +1,7 @@
 """MVS dataset / training-step / write_prediction tests on fixtures."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -127,6 +129,7 @@ class _ToyMVSDataset:
         return self.sample
 
 
+@pytest.mark.slow
 def test_mvs_train_step_and_write_prediction(tmp_path):
     cfg = MVSTrainConfig(
         model=TransMVSNetConfig(ndepths=(8, 8, 8), cr_base_chs=(4, 4, 4),

@@ -1,6 +1,8 @@
 """NOVEL variant tests: kNN deformation parity, gen-latent plane sampling,
 end-to-end deformed render, dense regressor training smoke."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -76,6 +78,7 @@ def _novel_setup(use_pe=False):
     return batch, cfg, model, gen, variables
 
 
+@pytest.mark.slow
 def test_novel_render_end_to_end():
     batch, cfg, model, gen, variables = _novel_setup()
     ctx, _ = model.apply(

@@ -35,6 +35,7 @@ def _tiny_cfg():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     batch = make_sphere_scene(H=24, W=24, nv=2, sb=2)
     cfg = _tiny_cfg()
@@ -85,6 +86,7 @@ def test_multihost_meter_reduction_and_barrier():
     meters.synchronize("test-barrier")  # must not raise
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     """The driver's dryrun_multichip contract: N train steps + eval step
     over an 8-device virtual mesh."""

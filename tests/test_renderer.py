@@ -3,6 +3,8 @@ synthetic multi-view scene. Checks shapes, determinism, gradient flow, and
 that depth-guided sampling actually concentrates samples near the surface.
 """
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +35,7 @@ def _encode(model, variables, batch):
     return ctx
 
 
+@pytest.mark.slow
 def test_render_end_to_end():
     batch = make_sphere_scene(H=32, W=32, nv=2)
     model = _small_model()
@@ -76,6 +79,7 @@ def test_render_end_to_end():
     assert np.isfinite(np.asarray(outc.rgb)).all()
 
 
+@pytest.mark.slow
 def test_depth_guided_sampling_concentrates_on_surface():
     """Rays through the sphere should get samples near the analytic depth."""
     from diner_tpu.ops.sampling import sample_depthguided
@@ -108,6 +112,7 @@ def test_depth_guided_sampling_concentrates_on_surface():
     assert np.abs(np.median(hit) - gt) < 0.15
 
 
+@pytest.mark.slow
 def test_render_gradients_flow_to_params():
     batch = make_sphere_scene(H=24, W=24, nv=2)
     model = _small_model()

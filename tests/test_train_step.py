@@ -1,6 +1,8 @@
 """Training-step tests: jitted DINER step decreases loss on the sphere scene;
 losses match torch re-statements; patch selection respects the fg mask."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,6 +37,7 @@ def _tiny_cfg(**kw):
     )
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     batch = make_sphere_scene(H=24, W=24, nv=2)
     cfg = _tiny_cfg()
@@ -53,6 +56,7 @@ def test_train_step_decreases_loss():
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+@pytest.mark.slow
 def test_eval_step_renders_images():
     batch = make_sphere_scene(H=24, W=24, nv=2)
     cfg = _tiny_cfg()
@@ -95,6 +99,7 @@ def test_antibias_loss_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vgg_loss_runs_and_differentiates():
     params = init_vgg19_params(0)
     x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3), jnp.float32)
