@@ -94,8 +94,15 @@ class MVSDTUDataset:
         imgs, proj = [], []
         depth_ms = mask_ms = depth_values = interval = None
         for i, vid in enumerate(view_ids):
-            img = read_rgb(self.datapath / "Rectified" / f"{scan}_train" /
-                           f"rect_{vid + 1:03d}_{light}_r5000.png")
+            # NOTE: the fork's dtu_yao.py:168-186 appends the RAW 1200×1600
+            # image while depth/mask go through prepare_img (512×640) — its
+            # DTU train mode cannot run (stage shapes disagree with GT and
+            # the cam intrinsics). Upstream TransMVSNet prepares the image
+            # too; we follow the runnable upstream semantics (SURVEY §2.9:
+            # fork defects are not replicated).
+            img = prepare_img(read_rgb(
+                self.datapath / "Rectified" / f"{scan}_train" /
+                f"rect_{vid + 1:03d}_{light}_r5000.png"))
             K, E, dmin, interval = self.read_cam_file(
                 self.datapath / "Cameras/train" / f"{vid:08d}_cam.txt")
             pm = np.zeros((2, 4, 4), np.float32)

@@ -77,7 +77,9 @@ def test_mvs_dtu_dataset(tmp_path):
     ds = MVSDTUDataset(root, listfile, "val", nviews=4, ndepths=48)
     assert len(ds) == 4  # 4 quad targets, light 3 only
     s = ds[0]
-    assert s["imgs"].shape == (4, 1200, 1600, 3)
+    # images are prepare_img'd to the GT resolution (upstream semantics;
+    # the fork feeds raw 1200×1600 against 512×640 GT — defect, not kept)
+    assert s["imgs"].shape == (4, 512, 640, 3)
     assert s["depth"]["stage3"].shape == (512, 640)
     assert s["depth"]["stage1"].shape == (128, 160)
     assert s["mask"]["stage2"].shape == (256, 320)
