@@ -1,0 +1,141 @@
+"""True-reference parity for the §2.5 tensor utilities: runs the ACTUAL
+``src/util/torch_helpers.py`` and ``src/util/depth2normal.py`` from
+``/root/reference`` (via tests/ref_shims.py) as the oracle for the
+framework's analytic implementations.
+
+Covers:
+  - exponential-padding grid_sample (torch_helpers.py:100-160), on the
+    exact configuration the encoder's ``index_depth_std`` uses
+    (pad 100, double_width 12, nearest, zeros outside) — the reference
+    materializes a (H+200)×(W+200) canvas; the framework computes the pad
+    factor analytically (SURVEY §7 hard part 1);
+  - plain border/zeros nearest + bilinear modes of the same wrapper;
+  - weighted_mean_n_std (torch_helpers.py:294-302);
+  - masked_downsampling average/nearest (torch_helpers.py:241-291);
+  - depth2normal (depth2normal.py:7-87) including zero-depth boundary
+    cleanup.
+"""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from tests import ref_shims
+
+ref_shims.install()
+
+from src.util import torch_helpers as TH  # noqa: E402  (actual reference)
+from src.util.depth2normal import depth2normal as ref_depth2normal  # noqa: E402
+
+from diner_tpu.geometry.normals import depth_to_normal  # noqa: E402
+from diner_tpu.ops.grid_sample import (  # noqa: E402
+    grid_sample,
+    grid_sample_bilinear,
+    grid_sample_exponential_nearest,
+    grid_sample_nearest,
+)
+from diner_tpu.ops.sampling import weighted_mean_std  # noqa: E402
+from diner_tpu.preprocessing.facescape import (  # noqa: E402
+    masked_downsampling,
+)
+
+
+def _mk_img(N=2, C=1, H=9, W=11, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(N, C, H, W).astype(np.float32) + 0.1
+    return img
+
+
+def _mk_uv(N=2, P=257, seed=1, lo=-2.2, hi=2.2):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(N, P, 2) * (hi - lo) + lo).astype(np.float32)
+
+
+def test_exponential_grid_sample_matches_reference_torch_helpers():
+    """Our analytic exponential-nearest == the reference's materialized
+    padded-canvas path at the index_depth_std configuration."""
+    img = _mk_img()
+    uv = _mk_uv()  # includes points far outside the image
+    ref = TH.grid_sample(
+        torch.from_numpy(img), torch.from_numpy(uv).unsqueeze(2),
+        mode="nearest", padding_mode="exponential", align_corners=False,
+        pad_double_width=12, pad_size=100, exp_padding_mode="zeros",
+    )[:, :, :, 0].numpy()  # (N, C, P)
+
+    ours = grid_sample_exponential_nearest(
+        jnp.asarray(np.transpose(img, (0, 2, 3, 1))), jnp.asarray(uv),
+        pad_size=100, double_width=12.0)  # (N, P, C)
+    np.testing.assert_allclose(np.transpose(np.asarray(ours), (0, 2, 1)),
+                               ref, atol=1e-5, rtol=1e-5)
+
+    # the dispatching wrapper routes identically
+    ours2 = grid_sample(jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+                        jnp.asarray(uv), mode="nearest",
+                        padding_mode="exponential", pad_size=100,
+                        double_width=12.0)
+    np.testing.assert_allclose(np.asarray(ours2), np.asarray(ours))
+
+
+def test_plain_grid_sample_modes_match_reference_wrapper():
+    img = _mk_img(C=3)
+    uv = _mk_uv(lo=-1.3, hi=1.3)
+    timg = torch.from_numpy(img)
+    tuv = torch.from_numpy(uv).unsqueeze(2)
+    jimg = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+    juv = jnp.asarray(uv)
+
+    for mode, pad, fn in (
+            ("nearest", "border", grid_sample_nearest),
+            ("nearest", "zeros", grid_sample_nearest),
+            ("bilinear", "border", grid_sample_bilinear),
+            ("bilinear", "zeros", grid_sample_bilinear)):
+        ref = TH.grid_sample(timg, tuv, mode=mode, padding_mode=pad,
+                             align_corners=False)[:, :, :, 0].numpy()
+        ours = np.transpose(np.asarray(fn(jimg, juv, pad)), (0, 2, 1))
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5,
+                                   err_msg=f"{mode}/{pad}")
+
+
+def test_weighted_mean_n_std_matches_reference():
+    rng = np.random.RandomState(2)
+    x = rng.rand(4, 50).astype(np.float32)
+    w = rng.rand(4, 50).astype(np.float32)
+    m_ref, s_ref = TH.weighted_mean_n_std(torch.from_numpy(x),
+                                          torch.from_numpy(w), dim=-1,
+                                          keepdims=True)
+    m, s = weighted_mean_std(jnp.asarray(x), jnp.asarray(w), axis=-1,
+                             keepdims=True)
+    np.testing.assert_allclose(np.asarray(m), m_ref.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), s_ref.numpy(), atol=1e-5)
+
+
+def test_masked_downsampling_matches_reference():
+    rng = np.random.RandomState(3)
+    H = W = 12
+    x = rng.rand(3, H, W).astype(np.float32)
+    mask = (rng.rand(1, H, W) > 0.4).astype(np.float32)
+    for mode in ("average", "nearest"):
+        ref = TH.masked_downsampling(torch.from_numpy(x.copy()),
+                                     torch.from_numpy(mask.copy()),
+                                     factor=4, mode=mode,
+                                     bg_color=0.25).numpy()  # (C, h, w)
+        ours = masked_downsampling(np.transpose(x, (1, 2, 0)),
+                                   np.transpose(mask, (1, 2, 0)),
+                                   factor=4, mode=mode, bg_color=0.25)
+        np.testing.assert_allclose(np.transpose(ours, (2, 0, 1)), ref,
+                                   atol=1e-5, err_msg=mode)
+
+
+def test_depth2normal_matches_reference_module():
+    rng = np.random.RandomState(4)
+    N, H, W = 2, 16, 20
+    depth = (1.0 + rng.rand(N, H, W)).astype(np.float32)
+    depth[0, :5, :6] = 0.0  # invalid region exercises the boundary cleanup
+    intr = np.array([[[25.0, 0, W / 2], [0, 25.0, H / 2], [0, 0, 1]]] * N,
+                    np.float32)
+    ref = ref_depth2normal(torch.from_numpy(depth)[:, None],
+                           torch.from_numpy(intr))  # (N, 3, H, W)
+    ours = depth_to_normal(jnp.asarray(depth), jnp.asarray(intr))
+    np.testing.assert_allclose(
+        np.asarray(ours), np.transpose(ref.numpy(), (0, 2, 3, 1)),
+        atol=1e-4, rtol=1e-4)
