@@ -139,3 +139,53 @@ def test_depth2normal_matches_reference_module():
     np.testing.assert_allclose(
         np.asarray(ours), np.transpose(ref.numpy(), (0, 2, 3, 1)),
         atol=1e-4, rtol=1e-4)
+
+
+def test_gen_rays_matches_reference_cam_geometry():
+    """Framework gen_rays == the actual reference src/util/cam_geometry.py
+    gen_rays (half-pixel OpenCV convention, normalized world dirs,
+    origins from -R^T t, (B,H,W,8) packing)."""
+    from src.util.cam_geometry import gen_rays as ref_gen_rays
+    from diner_tpu.geometry import gen_rays
+
+    rng = np.random.RandomState(5)
+    B, H, W = 2, 6, 7
+    extr = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    for b in range(B):
+        a = 0.2 + 0.1 * b
+        c, s = np.cos(a), np.sin(a)
+        extr[b, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                                   np.float32)
+        extr[b, :3, 3] = rng.randn(3).astype(np.float32) * 0.2
+    intr = np.tile(np.array([[9.0, 0, W / 2], [0, 8.0, H / 2], [0, 0, 1]],
+                            np.float32), (B, 1, 1))
+    znear = np.array([0.7, 0.8], np.float32)
+    zfar = np.array([2.0, 2.2], np.float32)
+
+    ref = ref_gen_rays(torch.from_numpy(extr), torch.from_numpy(intr), W, H,
+                       torch.from_numpy(znear), torch.from_numpy(zfar))
+    ours = gen_rays(jnp.asarray(extr), jnp.asarray(intr), W, H,
+                    jnp.asarray(znear), jnp.asarray(zfar))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_antibias_loss_matches_reference():
+    """AntibiasLoss (avg-pool 2^n then L1) vs the actual reference module."""
+    # load the module file directly: the reference's src/losses/__init__.py
+    # imports a non-existent bgnllloss (fork defect)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_antibiasloss", "/root/reference/src/losses/antibiasloss.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    AntibiasLoss = mod.AntibiasLoss
+    from diner_tpu.losses import antibias_loss
+
+    rng = np.random.RandomState(6)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    y = rng.rand(2, 32, 32, 3).astype(np.float32)
+    ref = AntibiasLoss(3)(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                          torch.from_numpy(np.transpose(y, (0, 3, 1, 2))))
+    ours = antibias_loss(jnp.asarray(x), jnp.asarray(y), 3)
+    np.testing.assert_allclose(float(ours), float(ref), atol=1e-6)
