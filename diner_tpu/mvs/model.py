@@ -45,6 +45,11 @@ class TransMVSNetConfig:
     # FMT positional encoding: 'sine' (reference default, FMT.py:126) or
     # 'superglue' (the learned keypoint-MLP variant, FMT.py:125)
     fmt_pe_type: str = "sine"
+    # rematerialize FeatureNet / the warp+correlation / CostRegNet in
+    # backward. The full 512x640 DTU training graph needs ~46 GB of
+    # activations without it (the reference trains on an A100-80GB); remat
+    # + bf16 fits it on a 16 GB chip at identical numerics (recompute).
+    remat: bool = False
 
     @property
     def num_stage(self) -> int:
@@ -168,6 +173,7 @@ class DepthNet(nn.Module):
     """One cascade stage: warped-similarity cost volume + regularization."""
 
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.pixel_wise_net = PixelwiseNet(dtype=self.dtype)
@@ -195,16 +201,24 @@ class DepthNet(nn.Module):
         ref_proj = full_proj(proj_matrices[:, 0])
         dv_flat = depth_values.reshape(B, D, H * W)
 
+        def warp_similarity(src_fea, ref_fea, src_proj, ref_proj, dvf):
+            warped = homo_warping(src_fea, src_proj, ref_proj,
+                                  dvf)  # (B, D, H, W, C)
+            return jnp.mean(warped * ref_fea[:, None], axis=-1,
+                            keepdims=True)  # (B, D, H, W, 1)
+
+        if self.remat:
+            # don't keep the (B, D, H, W, C) warped features for backward;
+            # recompute the plane-sweep in the bwd pass
+            warp_similarity = jax.checkpoint(warp_similarity)
+
         similarity_sum = 0.0
         weight_sum = 1e-5
         new_weights = []
         for i, src_fea in enumerate(features[1:]):
             src_proj = full_proj(proj_matrices[:, i + 1])
-            warped = homo_warping(src_fea, src_proj, ref_proj,
-                                  dv_flat)  # (B, D, H, W, C)
-            similarity = jnp.mean(
-                warped * ref_feature[:, None], axis=-1,
-                keepdims=True)  # (B, D, H, W, 1)
+            similarity = warp_similarity(src_fea, ref_feature, src_proj,
+                                         ref_proj, dv_flat)
             if view_weights is None:
                 w = self.pixel_wise_net(similarity, train)  # (B,1,H,W,1)
                 new_weights.append(w[:, 0, :, :, 0])
@@ -232,16 +246,23 @@ class TransMVSNet(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.feature = FeatureNet(self.cfg.base_channels, dtype=self.dtype)
+        feature_cls = FeatureNet
+        cost_cls = CostRegNet
+        if self.cfg.remat:
+            # identical numerics; activations recomputed in backward
+            # (train flag is static: call-arg index 2 incl. the module)
+            feature_cls = nn.remat(FeatureNet, static_argnums=(2,))
+            cost_cls = nn.remat(CostRegNet, static_argnums=(2,))
+        self.feature = feature_cls(self.cfg.base_channels, dtype=self.dtype)
         self.fmt_pathway = FMTWithPathway(self.cfg.base_channels,
                                           pe_type=self.cfg.fmt_pe_type,
                                           dtype=self.dtype,
                                           name="FMT_with_pathway")
         self.cost_regularization = [
-            CostRegNet(self.cfg.cr_base_chs[i], dtype=self.dtype,
-                       name=f"cost_reg_{i}")
+            cost_cls(self.cfg.cr_base_chs[i], dtype=self.dtype,
+                     name=f"cost_reg_{i}")
             for i in range(self.cfg.num_stage)]
-        self.depth_net = DepthNet(dtype=self.dtype)
+        self.depth_net = DepthNet(dtype=self.dtype, remat=self.cfg.remat)
 
     def __call__(self, imgs, proj_matrices: Dict[str, jnp.ndarray],
                  depth_values, train: bool = True) -> Dict:

@@ -36,6 +36,8 @@ class MVSTrainConfig:
     milestones: Tuple[int, ...] = (10000, 12000, 14000)
     gamma: float = 0.5
     dlossw: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # activation/matmul dtype ("float32" | "bfloat16"); params stay f32
+    compute_dtype: str = "float32"
 
 
 def warmup_multistep_schedule(cfg: MVSTrainConfig):
@@ -50,7 +52,8 @@ def warmup_multistep_schedule(cfg: MVSTrainConfig):
 
 
 def create_mvs_state(cfg: MVSTrainConfig, rng, example_batch):
-    model = TransMVSNet(cfg=cfg.model)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    model = TransMVSNet(cfg=cfg.model, dtype=dtype)
     variables = model.init(rng, example_batch["imgs"],
                            example_batch["proj_matrices"],
                            example_batch["depth_values"], train=False)

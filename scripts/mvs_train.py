@@ -54,6 +54,13 @@ def main():
     ap.add_argument("--max-steps", type=int, default=-1)
     ap.add_argument("--debug-nans", action="store_true",
                     help="jax_debug_nans: error at the first NaN op")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="activation/matmul compute dtype (params stay f32)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize FeatureNet / plane-sweep / 3D-UNet "
+                         "activations (needed to fit the 512x640 DTU "
+                         "training graph in 16 GB HBM)")
     args = ap.parse_args()
 
     if args.debug_nans:
@@ -78,8 +85,10 @@ def main():
     ratios = tuple(float(x) for x in args.depth_inter_r.split(","))
     cfg = MVSTrainConfig(
         model=TransMVSNetConfig(ndepths=ndepths,
-                                depth_intervals_ratio=ratios),
-        lr=args.lr)
+                                depth_intervals_ratio=ratios,
+                                remat=args.remat),
+        lr=args.lr,
+        compute_dtype=args.dtype)
 
     mode = "train" if args.mode == "train" else "val"
     if args.dataset == "dtu_yao":

@@ -314,3 +314,57 @@ def test_fmt_superglue_pe_switch():
     variables = fmt.init(jax.random.PRNGKey(0), x)
     outs = fmt.apply(variables, x)
     assert len(outs) == 4 and outs[0].shape == x.shape
+
+
+@pytest.mark.slow
+def test_remat_and_bf16_modes_run_and_match():
+    """remat=True must be numerically identical to remat=False (same params,
+    same inputs) — rematerialization only changes what backward recomputes."""
+    from diner_tpu.mvs.model import TransMVSNet, TransMVSNetConfig
+
+    V, H, W = 2, 32, 32
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(1, V, H, W, 3), jnp.float32)
+    intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                    np.float32)
+    extr = np.stack([np.eye(4, dtype=np.float32) for _ in range(V)])
+    extr[1, 0, 3] = 0.1
+    proj = {}
+    for si, scale in enumerate([0.25, 0.5, 1.0]):
+        P = np.zeros((1, V, 2, 4, 4), np.float32)
+        for v in range(V):
+            P[0, v, 0] = extr[v]
+            K = intr.copy()
+            K[:2] *= scale
+            P[0, v, 1, :3, :3] = K
+        proj[f"stage{si + 1}"] = jnp.asarray(P)
+    dvals = jnp.linspace(0.5, 1.5, 48)[None].astype(jnp.float32)
+
+    cfg = TransMVSNetConfig(ndepths=(8, 8, 8))
+    base = TransMVSNet(cfg=cfg)
+    variables = base.init(jax.random.PRNGKey(0), imgs, proj, dvals,
+                          train=False)
+    out0 = base.apply(variables, imgs, proj, dvals, train=False)
+
+    rem = TransMVSNet(cfg=TransMVSNetConfig(ndepths=(8, 8, 8), remat=True))
+    out1 = rem.apply(variables, imgs, proj, dvals, train=False)
+    np.testing.assert_allclose(np.asarray(out1["depth"]),
+                               np.asarray(out0["depth"]), atol=1e-5)
+
+    # remat grads == plain grads
+    def loss(m, v):
+        o = m.apply(v, imgs, proj, dvals, train=False)
+        return jnp.mean(o["prob_volume"])
+    g0 = jax.grad(lambda v: loss(base, v))(variables)["params"]
+    g1 = jax.grad(lambda v: loss(rem, v))(variables)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-5),
+        g0, g1)
+
+    # bf16 path runs and stays finite
+    bf = TransMVSNet(cfg=TransMVSNetConfig(ndepths=(8, 8, 8), remat=True),
+                     dtype=jnp.bfloat16)
+    vbf = bf.init(jax.random.PRNGKey(0), imgs, proj, dvals, train=False)
+    outb = bf.apply(vbf, imgs, proj, dvals, train=False)
+    assert np.isfinite(np.asarray(outb["depth"])).all()
