@@ -19,8 +19,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from diner_tpu.utils.platform import respect_env_platform
-respect_env_platform()  # JAX_PLATFORMS=cpu must win over plugin pins
+from diner_tpu.utils.platform import (
+    enable_compilation_cache,
+    respect_env_platform,
+)
+respect_env_platform()
+enable_compilation_cache()  # JAX_PLATFORMS=cpu must win over plugin pins
 
 
 def main():
@@ -205,10 +209,10 @@ def main():
             t0 = time.time()
             state, metrics = step_fn(state, to_batch(batch))
             step = int(state["step"])
-            if step % 50 == 0:
+            if step % 50 == 0 or 0 <= args.max_steps <= 50:
                 print(f"epoch {epoch} step {step} "
                       f"loss {float(metrics['loss']):.4f} "
-                      f"({time.time() - t0:.2f}s/it)")
+                      f"({time.time() - t0:.2f}s/it)", flush=True)
         ckpt_lib.save_checkpoint(ckpt_dir, state, step=int(state["step"]))
     print("done")
 

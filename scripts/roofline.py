@@ -23,6 +23,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from diner_tpu.utils.platform import enable_compilation_cache
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 

@@ -16,8 +16,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from diner_tpu.utils.platform import respect_env_platform
-respect_env_platform()  # JAX_PLATFORMS=cpu must win over plugin pins
+from diner_tpu.utils.platform import (
+    enable_compilation_cache,
+    respect_env_platform,
+)
+respect_env_platform()
+enable_compilation_cache()  # JAX_PLATFORMS=cpu must win over plugin pins
 
 
 def main():
