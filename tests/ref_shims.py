@@ -179,6 +179,25 @@ def install() -> None:
         sys.modules["torchvision.transforms"] = transforms
         sys.modules["torchvision.transforms.functional"] = tf
 
+    if "pytorch3d" not in sys.modules:
+        # the NOVEL renderer needs only knn_points(K=1); brute-force torch
+        # cdist+topk reproduces pytorch3d's (dists², idx, nn) contract
+        p3d = types.ModuleType("pytorch3d")
+        ops = types.ModuleType("pytorch3d.ops")
+        knn = types.ModuleType("pytorch3d.ops.knn")
+
+        def knn_points(p, v, K=1, **kwargs):
+            d = torch.cdist(p, v)  # (SB, P, V)
+            dists, idx = torch.topk(d, K, dim=-1, largest=False)
+            return dists ** 2, idx, None
+
+        knn.knn_points = knn_points
+        ops.knn = knn
+        p3d.ops = ops
+        sys.modules["pytorch3d"] = p3d
+        sys.modules["pytorch3d.ops"] = ops
+        sys.modules["pytorch3d.ops.knn"] = knn
+
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 

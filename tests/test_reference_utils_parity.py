@@ -189,3 +189,27 @@ def test_antibias_loss_matches_reference():
                           torch.from_numpy(np.transpose(y, (0, 3, 1, 2))))
     ours = antibias_loss(jnp.asarray(x), jnp.asarray(y), 3)
     np.testing.assert_allclose(float(ours), float(ref), atol=1e-6)
+
+
+def test_novel_deform_points_matches_reference_renderer():
+    """NOVEL mesh-offset deformation (kNN K=1 to target vertices, add that
+    vertex's offset) vs the ACTUAL reference
+    src/models/novel/nerf_novel_renderer.py deform_points (:40-50), with
+    pytorch3d.knn_points shimmed as brute-force cdist+top-1."""
+    from src.models.novel.nerf_novel_renderer import (
+        NeRFRendererDGS as RefNovelRenderer,
+    )
+    from diner_tpu.ops.knn import deform_points
+
+    rng = np.random.RandomState(7)
+    SB, B, NV = 2, 123, 310
+    pts = rng.randn(SB, B, 3).astype(np.float32)
+    verts = rng.randn(SB, NV, 3).astype(np.float32)
+    offs = rng.randn(SB, NV, 3).astype(np.float32) * 0.1
+
+    ref = RefNovelRenderer().deform_points(
+        torch.from_numpy(pts), torch.from_numpy(verts),
+        torch.from_numpy(offs)).numpy()
+    ours = deform_points(jnp.asarray(pts), jnp.asarray(verts),
+                         jnp.asarray(offs))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-5)
