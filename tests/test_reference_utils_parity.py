@@ -213,3 +213,63 @@ def test_novel_deform_points_matches_reference_renderer():
     ours = deform_points(jnp.asarray(pts), jnp.asarray(verts),
                          jnp.asarray(offs))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_rel_z_decay_matches_reference_spatial_encoder():
+    """KeypointNeRF rel_z_decay keypoint encoding vs the ACTUAL reference
+    src/models/spatial_encoder.py forward (:108-117)."""
+    from src.models.spatial_encoder import SpatialEncoder as RefSpEnc
+    from diner_tpu.models.keypointnerf.modules import rel_z_decay_encoding
+
+    rng = np.random.RandomState(8)
+    B, V, N, K = 1, 2, 37, 13
+    sp_level, scale, sigma = 3, 10.0, 0.8
+    v_world = rng.randn(B * V, N, 3).astype(np.float32)
+    kpt3d = rng.randn(B, K, 3).astype(np.float32)
+    extrin = np.tile(np.eye(4, dtype=np.float32), (B * V, 1, 1))
+    for i in range(B * V):
+        a = 0.3 * i
+        c, s = np.cos(a), np.sin(a)
+        extrin[i, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                                     np.float32)
+        extrin[i, :3, 3] = rng.randn(3).astype(np.float32) * 0.1
+
+    enc = RefSpEnc(sp_level=sp_level, sp_type="rel_z_decay", scale=scale,
+                   n_kpt=K, sigma=sigma)
+    sp_data = dict(
+        KRT=torch.zeros(B * V, 3, 4), n_view=V,
+        v=torch.from_numpy(v_world), pts=torch.from_numpy(v_world[:B]),
+        z=torch.zeros(B * V, N, 1), xy=torch.zeros(B * V, N, 2),
+        extrin=torch.from_numpy(extrin), kpt3d=torch.from_numpy(kpt3d))
+    ref = enc(**sp_data).numpy()
+
+    # camera-space inputs for the framework function
+    R = extrin[:, :3, :3]
+    t = extrin[:, :3, 3]
+    cxyz = np.einsum("bij,bnj->bni", R, v_world) + t[:, None]
+    kpt_rep = np.repeat(kpt3d, V, axis=0)  # (B*V, K, 3)
+    kpt_cam = np.einsum("bij,bkj->bki", R, kpt_rep) + t[:, None]
+    ours = rel_z_decay_encoding(jnp.asarray(cxyz), jnp.asarray(kpt_cam),
+                                sp_level, scale, sigma)
+    assert ours.shape == ref.shape == (B * V, N, (1 + 2 * sp_level) * K)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_pix_loss_matches_reference_keypointnerf_util():
+    """pix_loss family (l1/l2/lp/top-k%) vs the ACTUAL reference
+    src/util/keypointnerf_util.py:202-231."""
+    from src.util.keypointnerf_util import pix_loss as ref_pix_loss
+    from diner_tpu.models.keypointnerf.losses import pix_loss
+
+    rng = np.random.RandomState(9)
+    B, C, H, W = 2, 3, 8, 10
+    src = rng.rand(B, C, H, W).astype(np.float32)
+    tar = rng.rand(B, C, H, W).astype(np.float32)
+    w = {"l1": 0.5, "l2": 1.0, "lp": 0.2, "l1top20": 1.0, "l2top50": 0.7}
+    ref = ref_pix_loss(torch.from_numpy(src), torch.from_numpy(tar), w)
+    ours = pix_loss(jnp.asarray(np.transpose(src, (0, 2, 3, 1))),
+                    jnp.asarray(np.transpose(tar, (0, 2, 3, 1))), w)
+    assert set(ours) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(float(ours[k]), float(ref[k]),
+                                   atol=1e-6, rtol=1e-5, err_msg=k)
