@@ -112,11 +112,12 @@ class PixelwiseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = ConvBnReLU3D(16, 1, padding=0, name="conv0")(x, train)
+        # x: (B, D, H, W) squeezed similarity; channel added transiently
+        x = ConvBnReLU3D(16, 1, padding=0, name="conv0")(x[..., None], train)
         x = ConvBnReLU3D(8, 1, padding=0, name="conv1")(x, train)
         x = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv2")(x)
-        x = nn.sigmoid(x)
-        return jnp.max(x, axis=1, keepdims=True)  # max over depth
+        x = nn.sigmoid(x[..., 0])  # (B, D, H, W)
+        return jnp.max(x, axis=1, keepdims=True)  # (B, 1, H, W)
 
 
 class CostRegNet(nn.Module):
@@ -204,8 +205,10 @@ class DepthNet(nn.Module):
         def warp_similarity(src_fea, ref_fea, src_proj, ref_proj, dvf):
             warped = homo_warping(src_fea, src_proj, ref_proj,
                                   dvf)  # (B, D, H, W, C)
-            return jnp.mean(warped * ref_fea[:, None], axis=-1,
-                            keepdims=True)  # (B, D, H, W, 1)
+            # squeeze the channel: a trailing dim of 1 puts the singleton
+            # in the TPU lane dimension and XLA pads it x128 (measured:
+            # +478 MB on a 1.9 MB tensor) — carry (B, D, H, W) instead
+            return jnp.mean(warped * ref_fea[:, None], axis=-1)
 
         if self.remat:
             # don't keep the (B, D, H, W, C) warped features for backward;
@@ -218,17 +221,18 @@ class DepthNet(nn.Module):
         for i, src_fea in enumerate(features[1:]):
             src_proj = full_proj(proj_matrices[:, i + 1])
             similarity = warp_similarity(src_fea, ref_feature, src_proj,
-                                         ref_proj, dv_flat)
+                                         ref_proj, dv_flat)  # (B, D, H, W)
             if view_weights is None:
-                w = self.pixel_wise_net(similarity, train)  # (B,1,H,W,1)
-                new_weights.append(w[:, 0, :, :, 0])
+                w = self.pixel_wise_net(similarity, train)  # (B, 1, H, W)
+                new_weights.append(w[:, 0])
             else:
-                w = view_weights[:, i, None, :, :, None]
+                w = view_weights[:, i, None]
             similarity_sum = similarity_sum + similarity * w
             weight_sum = weight_sum + w
-        similarity = similarity_sum / weight_sum
+        similarity = similarity_sum / weight_sum  # (B, D, H, W)
 
-        cost_reg = cost_regularization(similarity, train)[..., 0]  # (B,D,H,W)
+        cost_reg = cost_regularization(similarity[..., None],
+                                       train)[..., 0]  # (B, D, H, W)
         prob_volume = jax.nn.softmax(cost_reg, axis=1)
         depth = depth_wta(prob_volume, depth_values)
         confidence = jax.lax.stop_gradient(jnp.max(prob_volume, axis=1))

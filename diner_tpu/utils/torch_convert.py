@@ -138,3 +138,111 @@ def convert_vgg19_features(sd: Mapping[str, np.ndarray]):
         elif kind == "bias":
             _set(params, (f"conv_{idx}", "bias"), v)
     return {"params": params}
+
+
+def _conv3d(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (O, I, kD, kH, kW) → flax (kD, kH, kW, I, O)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _deconv3d(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose3d (I, O, kD, kH, kW) → our interior-pad VALID
+    conv layout (kD, kH, kW, I, O) with spatial flip (DeconvBnReLU3D)."""
+    return np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1))
+
+
+def _dcn_kernel(w: np.ndarray) -> np.ndarray:
+    """torch DCN main weight (O, C, kh, kw) → our (kh·kw·C, O) matmul kernel
+    (tap-major, channel-minor — matches mvs/dcn.py's gather concat)."""
+    O, C, kh, kw = w.shape
+    return np.transpose(w, (2, 3, 1, 0)).reshape(kh * kw * C, O)
+
+
+def convert_transmvsnet(sd: Mapping[str, np.ndarray], num_stage: int = 3,
+                        n_fmt_layers: int = 8):
+    """Reference TransMVSNet state_dict (deps/TransMVSNet/models/) → our
+    flax variables. Covers FeatureNet (+DCN heads), FMT + pathway,
+    CostRegNet ×num_stage, PixelwiseNet. Enables loading released
+    TransMVSNet checkpoints and true-reference parity testing."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst):
+        _set(params, dst + ("scale",), sd[src + ".weight"])
+        _set(params, dst + ("bias",), sd[src + ".bias"])
+        _set(stats, dst + ("mean",), sd[src + ".running_mean"])
+        _set(stats, dst + ("var",), sd[src + ".running_var"])
+
+    def conv_bn(src, dst, conv=_conv):
+        _set(params, dst + ("conv", "kernel"), conv(sd[src + ".conv.weight"]))
+        bn(src + ".bn", dst + ("bn",))
+
+    # ---------------- FeatureNet -----------------------------------------
+    F = ("feature",)
+    for i, n in ((0, 2), (1, 3), (2, 3)):
+        for j in range(n):
+            conv_bn(f"feature.conv{i}.{j}", F + (f"conv{i}_{j}",))
+    for n in (1, 2, 3):
+        conv_bn(f"feature.out{n}.0", F + (f"out{n}_conv",))
+        for slot, idx in ((0, 1), (1, 4), (2, 7)):
+            src = f"feature.out{n}.{idx}"
+            dst = F + (f"out{n}_dcn{slot}",)
+            _set(params, dst + ("kernel",), _dcn_kernel(sd[src + ".weight"]))
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+            _set(params, dst + ("conv_offset_mask", "kernel"),
+                 _conv(sd[src + ".conv_offset_mask.weight"]))
+            _set(params, dst + ("conv_offset_mask", "bias"),
+                 sd[src + ".conv_offset_mask.bias"])
+        for slot, idx in ((0, 2), (1, 5)):
+            bn(f"feature.out{n}.{idx}", F + (f"out{n}_bn{slot}",))
+    for n in (1, 2):
+        _set(params, F + (f"inner{n}", "kernel"),
+             _conv(sd[f"feature.inner{n}.weight"]))
+        _set(params, F + (f"inner{n}", "bias"), sd[f"feature.inner{n}.bias"])
+
+    # ---------------- FMT + pathway --------------------------------------
+    P = ("FMT_with_pathway",)
+    for i in range(n_fmt_layers):
+        src = f"FMT_with_pathway.FMT.layers.{i}"
+        dst = P + ("FMT", f"layer_{i}")
+        for proj in ("query", "key", "value", "out"):
+            _set(params, dst + ("attention", f"{proj}_projection", "kernel"),
+                 _linear(sd[f"{src}.attention.{proj}_projection.weight"]))
+            _set(params, dst + ("attention", f"{proj}_projection", "bias"),
+                 sd[f"{src}.attention.{proj}_projection.bias"])
+        for lin in ("linear1", "linear2"):
+            _set(params, dst + (lin, "kernel"),
+                 _linear(sd[f"{src}.{lin}.weight"]))
+            _set(params, dst + (lin, "bias"), sd[f"{src}.{lin}.bias"])
+        for nrm in ("norm1", "norm2"):
+            _set(params, dst + (nrm, "scale"), sd[f"{src}.{nrm}.weight"])
+            _set(params, dst + (nrm, "bias"), sd[f"{src}.{nrm}.bias"])
+    for n in (1, 2):
+        _set(params, P + (f"dim_reduction_{n}", "kernel"),
+             _conv(sd[f"FMT_with_pathway.dim_reduction_{n}.weight"]))
+        _set(params, P + (f"smooth_{n}", "kernel"),
+             _conv(sd[f"FMT_with_pathway.smooth_{n}.weight"]))
+
+    # ---------------- CostRegNets ----------------------------------------
+    for s in range(num_stage):
+        src0 = f"cost_regularization.{s}"
+        dst0 = (f"cost_reg_{s}",)
+        for c in range(7):
+            conv_bn(f"{src0}.conv{c}", dst0 + (f"conv{c}",), _conv3d)
+        for c in (7, 9, 11):
+            _set(params, dst0 + (f"conv{c}", "conv", "kernel"),
+                 _deconv3d(sd[f"{src0}.conv{c}.conv.weight"]))
+            bn(f"{src0}.conv{c}.bn", dst0 + (f"conv{c}", "bn"))
+        _set(params, dst0 + ("prob", "kernel"),
+             _conv3d(sd[f"{src0}.prob.weight"]))
+
+    # ---------------- PixelwiseNet ---------------------------------------
+    D = ("depth_net", "pixel_wise_net")
+    conv_bn("DepthNet.pixel_wise_net.conv0", D + ("conv0",), _conv3d)
+    conv_bn("DepthNet.pixel_wise_net.conv1", D + ("conv1",), _conv3d)
+    _set(params, D + ("conv2", "kernel"),
+         _conv3d(sd["DepthNet.pixel_wise_net.conv2.weight"]))
+    _set(params, D + ("conv2", "bias"),
+         sd["DepthNet.pixel_wise_net.conv2.bias"])
+
+    return {"params": params, "batch_stats": stats}

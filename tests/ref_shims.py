@@ -133,6 +133,63 @@ class _Normalize(nn.Module):
         return (x - self.m) / self.s
 
 
+def _deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
+                   padding=(0, 0), dilation=(1, 1), mask=None):
+    """CPU re-statement of torchvision.ops.deform_conv2d (DCNv2).
+
+    offset: (B, 2·G·kh·kw, Ho, Wo), (dy, dx) interleaved per tap;
+    mask: (B, G·kh·kw, Ho, Wo) or None; groups = Cin // weight.shape[1].
+    Bilinear sampling with zero outside. Naive per-tap loops — test-only.
+    """
+    def _pair(v):
+        return (v, v) if isinstance(v, int) else tuple(v)
+
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    B, Cin, H, W = input.shape
+    O, Cin_g, kh, kw = weight.shape
+    groups = Cin // Cin_g
+    K = kh * kw
+    Ho = (H + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    n_off_grp = offset.shape[1] // (2 * K)
+    assert n_off_grp == 1 and groups == 1, "shim covers the reference usage"
+
+    ys = torch.arange(Ho, dtype=input.dtype) * sh - ph
+    xs = torch.arange(Wo, dtype=input.dtype) * sw - pw
+    cols = []
+    for t in range(K):
+        ky, kx = t // kw, t % kw
+        oy = offset[:, 2 * t].reshape(B, Ho, Wo)
+        ox = offset[:, 2 * t + 1].reshape(B, Ho, Wo)
+        sy = ys[None, :, None] + ky * dh + oy
+        sx = xs[None, None, :] + kx * dw + ox
+
+        y0 = torch.floor(sy)
+        x0 = torch.floor(sx)
+        wy1, wx1 = sy - y0, sx - x0
+        acc = 0.0
+        for iy, wy in ((y0, 1 - wy1), (y0 + 1, wy1)):
+            for ix, wx in ((x0, 1 - wx1), (x0 + 1, wx1)):
+                valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+                w = torch.where(valid, wy * wx, torch.zeros_like(wy))
+                iyc = iy.clamp(0, H - 1).long()
+                ixc = ix.clamp(0, W - 1).long()
+                idx = (iyc * W + ixc).reshape(B, 1, -1).expand(-1, Cin, -1)
+                g = torch.gather(input.reshape(B, Cin, -1), 2, idx)
+                acc = acc + g.reshape(B, Cin, Ho, Wo) * w[:, None]
+        if mask is not None:
+            acc = acc * mask[:, t][:, None]
+        cols.append(acc)
+    col = torch.stack(cols, dim=2)  # (B, Cin, K, Ho, Wo)
+    out = torch.einsum("bckhw,ock->bohw",
+                       col, weight.reshape(O, Cin_g, K))
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
 def _resize(img, size, interpolation=None, antialias=None):
     """torchvision.transforms.functional.resize for 3D/4D tensors
     (bilinear). Only referenced from torch_helpers' utility surface."""
@@ -172,12 +229,21 @@ def install() -> None:
         tf = types.ModuleType("torchvision.transforms.functional")
         tf.resize = _resize
         transforms.functional = tf
+        ops = types.ModuleType("torchvision.ops")
+        ops.deform_conv2d = _deform_conv2d
+
+        class _DeformConv2dModule(nn.Module):
+            pass  # referenced but never instantiated by the reference code
+
+        ops.DeformConv2d = _DeformConv2dModule
         tv.models = models
         tv.transforms = transforms
+        tv.ops = ops
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = models
         sys.modules["torchvision.transforms"] = transforms
         sys.modules["torchvision.transforms.functional"] = tf
+        sys.modules["torchvision.ops"] = ops
 
     if "pytorch3d" not in sys.modules:
         # the NOVEL renderer needs only knn_points(K=1); brute-force torch
