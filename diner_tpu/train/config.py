@@ -134,6 +134,7 @@ def build_pixelnerf_config(nerf_conf: dict) -> PixelNeRFConfig:
         d_hidden=mkw.get("d_hidden", 512),
         combine_layer=mkw.get("combine_layer", 3),
         mlp_beta=mkw.get("beta", 0.0),
+        compute_dtype=kw.get("compute_dtype", "float32"),
     )
 
 

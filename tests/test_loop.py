@@ -32,6 +32,19 @@ def _cfg(tmp_path, **overrides):
     return p
 
 
+def test_config_compute_dtype_reaches_model(tmp_path):
+    """Regression: ``nerf.kwargs.compute_dtype`` must not be silently
+    dropped by the config builder (it was — every YAML-driven run trained
+    in f32 regardless of the recipe's bf16 setting)."""
+    cfgp = _cfg(tmp_path)
+    raw = yaml.safe_load(open(cfgp))
+    raw["nerf"]["kwargs"]["compute_dtype"] = "bfloat16"
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(raw, f)
+    run_cfg = load_train_config(cfgp)
+    assert run_cfg.diner.nerf.compute_dtype == "bfloat16"
+
+
 @pytest.mark.slow
 def test_fit_checkpoint_resume(tmp_path):
     cfgp = _cfg(tmp_path)
