@@ -19,11 +19,15 @@ from jax.nn.initializers import constant, zeros
 def bilinear_sample_pix(img, x, y):
     """Bilinear sample at unnormalized pixel positions, zeros outside.
 
-    img: (N, H, W, C); x, y: (N, P). Returns (N, P, C).
+    img: (N, H, W, C); x, y: (N, P) — positions are taken in f32 (integer
+    pixel indices above 256 are not exactly representable in bf16), the
+    sampled values stay in ``img.dtype``. Returns (N, P, C).
     Matches torchvision deform_conv2d's sampler (corner taps fully outside
     contribute zero).
     """
     N, H, W, C = img.shape
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx1 = x - x0
@@ -32,7 +36,7 @@ def bilinear_sample_pix(img, x, y):
 
     def tap(ix, iy, w):
         valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        w = jnp.where(valid, w, 0.0)
+        w = jnp.where(valid, w, 0.0).astype(img.dtype)
         idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
         return jnp.take_along_axis(flat, idx[..., None], axis=1) * w[..., None]
 
@@ -70,38 +74,41 @@ class DeformConv2d(nn.Module):
         # torchvision layout: offset channels interleave (dy, dx) per tap;
         # the reference builds offset = cat(chunk1, chunk2) of its conv, so
         # tap k reads channels (2k, 2k+1) of that concatenation
-        offset = om[..., : 2 * K]
+        offset = om[..., : 2 * K].astype(jnp.float32)  # exact pixel math
         off_y = offset[..., 0::2]     # (N, H, W, K)
         off_x = offset[..., 1::2]
         mask = nn.sigmoid(om[..., 2 * K:])  # (N, H, W, K)
 
-        # base sampling positions per tap
-        gy = jnp.arange(H, dtype=x.dtype)[:, None]
-        gx = jnp.arange(W, dtype=x.dtype)[None, :]
-        taps = []
+        # torch DCNv2 init: uniform(-stdv, stdv), stdv = 1/sqrt(C*K)
+        stdv = float(1.0 / (C * K) ** 0.5)
+
+        def _uniform_sym(key, shape, dtype=jnp.float32):
+            import jax
+            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+        kernel = self.param("kernel", _uniform_sym, (K * C, self.features))
+        kmat = kernel.reshape(K, C, self.features).astype(x.dtype)
+
+        # Sum of per-tap matmuls: Σ_t (tap_t · mask_t) @ W_t ≡ the im2col
+        # concat @ W, but never materializes the (N, H, W, K·C) patch
+        # tensor (1.4 GB at DTU stage-3 shapes — the HBM peak of the
+        # full-res training graph).
+        gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+        gx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        out = jnp.zeros((N, H * W, self.features), x.dtype)
         t = 0
         for dy in range(-pad, pad + 1):
             for dx in range(-pad, pad + 1):
                 sy = gy + dy + off_y[..., t]  # (N, H, W)
                 sx = gx + dx + off_x[..., t]
                 s = bilinear_sample_pix(x, sx.reshape(N, -1),
-                                        sy.reshape(N, -1))
-                s = s.reshape(N, H, W, C) * mask[..., t:t + 1]
-                taps.append(s)
+                                        sy.reshape(N, -1))  # (N, HW, C)
+                s = s * mask[..., t:t + 1].reshape(N, -1, 1)
+                out = out + s @ kmat[t]
                 t += 1
-        gathered = jnp.concatenate(taps, axis=-1)  # (N, H, W, K*C)
-
-        # torch DCNv2 init: uniform(-stdv, stdv), stdv = 1/sqrt(C*K)
-        stdv = float(1.0 / (C * K) ** 0.5)
-
-        def _uniform_sym(key, shape, dtype=self.dtype):
-            import jax
-            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
-
-        kernel = self.param("kernel", _uniform_sym, (K * C, self.features))
-        out = gathered @ kernel
+        out = out.reshape(N, H, W, self.features)
         if self.use_bias:
             bias = self.param("bias", constant(0.0), (self.features,),
-                              self.dtype)
-            out = out + bias
+                              jnp.float32)
+            out = out + bias.astype(out.dtype)
         return out

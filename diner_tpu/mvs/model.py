@@ -83,23 +83,23 @@ class FeatureNet(nn.Module):
 
         # out1: 1x1 conv + 3 DCNs with BN+ReLU between
         h = ConvBnReLU(4 * bc, 1, padding=0, name="out1_conv")(conv2, train)
-        h = nn.relu(bn(DeformConv2d(4 * bc, name="out1_dcn0")(h), "out1_bn0"))
-        h = nn.relu(bn(DeformConv2d(4 * bc, name="out1_dcn1")(h), "out1_bn1"))
-        stage1 = DeformConv2d(4 * bc, name="out1_dcn2")(h)
+        h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out1_dcn0")(h), "out1_bn0"))
+        h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out1_dcn1")(h), "out1_bn1"))
+        stage1 = DeformConv2d(4 * bc, dtype=self.dtype, name="out1_dcn2")(h)
 
         intra = resize_nearest_2x(conv2) + nn.Conv(
             4 * bc, (1, 1), dtype=self.dtype, name="inner1")(conv1)
         h = ConvBnReLU(4 * bc, 3, name="out2_conv")(intra, train)
-        h = nn.relu(bn(DeformConv2d(4 * bc, name="out2_dcn0")(h), "out2_bn0"))
-        h = nn.relu(bn(DeformConv2d(4 * bc, name="out2_dcn1")(h), "out2_bn1"))
-        stage2 = DeformConv2d(2 * bc, name="out2_dcn2")(h)
+        h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out2_dcn0")(h), "out2_bn0"))
+        h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out2_dcn1")(h), "out2_bn1"))
+        stage2 = DeformConv2d(2 * bc, dtype=self.dtype, name="out2_dcn2")(h)
 
         intra = resize_nearest_2x(intra) + nn.Conv(
             4 * bc, (1, 1), dtype=self.dtype, name="inner2")(conv0)
         h = ConvBnReLU(4 * bc, 3, name="out3_conv")(intra, train)
-        h = nn.relu(bn(DeformConv2d(4 * bc, name="out3_dcn0")(h), "out3_bn0"))
-        h = nn.relu(bn(DeformConv2d(4 * bc, name="out3_dcn1")(h), "out3_bn1"))
-        stage3 = DeformConv2d(bc, name="out3_dcn2")(h)
+        h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out3_dcn0")(h), "out3_bn0"))
+        h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out3_dcn1")(h), "out3_bn1"))
+        stage3 = DeformConv2d(bc, dtype=self.dtype, name="out3_dcn2")(h)
 
         return {"stage1": stage1, "stage2": stage2, "stage3": stage3}
 
