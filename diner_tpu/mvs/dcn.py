@@ -16,12 +16,15 @@ import jax.numpy as jnp
 from jax.nn.initializers import constant, zeros
 
 
-def bilinear_sample_pix(img, x, y):
+def bilinear_sample_pix(img, x, y, scale=None):
     """Bilinear sample at unnormalized pixel positions, zeros outside.
 
     img: (N, H, W, C); x, y: (N, P) — positions are taken in f32 (integer
     pixel indices above 256 are not exactly representable in bf16), the
-    sampled values stay in ``img.dtype``. Returns (N, P, C).
+    sampled values stay in ``img.dtype``. ``scale`` is an optional (N, P)
+    per-point multiplier (the DCNv2 modulation mask) folded into the
+    bilinear weights **in f32** so the tap weight is quantized to
+    ``img.dtype`` exactly once, after all weight math. Returns (N, P, C).
     Matches torchvision deform_conv2d's sampler (corner taps fully outside
     contribute zero).
     """
@@ -36,7 +39,10 @@ def bilinear_sample_pix(img, x, y):
 
     def tap(ix, iy, w):
         valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        w = jnp.where(valid, w, 0.0).astype(img.dtype)
+        w = jnp.where(valid, w, 0.0)
+        if scale is not None:
+            w = w * scale.astype(jnp.float32)
+        w = w.astype(img.dtype)
         idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
         return jnp.take_along_axis(flat, idx[..., None], axis=1) * w[..., None]
 
@@ -77,7 +83,7 @@ class DeformConv2d(nn.Module):
         offset = om[..., : 2 * K].astype(jnp.float32)  # exact pixel math
         off_y = offset[..., 0::2]     # (N, H, W, K)
         off_x = offset[..., 1::2]
-        mask = nn.sigmoid(om[..., 2 * K:])  # (N, H, W, K)
+        mask = nn.sigmoid(om[..., 2 * K:].astype(jnp.float32))  # (N, H, W, K)
 
         # torch DCNv2 init: uniform(-stdv, stdv), stdv = 1/sqrt(C*K)
         stdv = float(1.0 / (C * K) ** 0.5)
@@ -92,21 +98,24 @@ class DeformConv2d(nn.Module):
         # Sum of per-tap matmuls: Σ_t (tap_t · mask_t) @ W_t ≡ the im2col
         # concat @ W, but never materializes the (N, H, W, K·C) patch
         # tensor (1.4 GB at DTU stage-3 shapes — the HBM peak of the
-        # full-res training graph).
+        # full-res training graph). The cross-tap accumulator is f32 (the
+        # im2col form summed all K·C products in f32 inside the MXU; the
+        # buffer is tiny since features ≤ 64), cast to x.dtype once at end.
         gy = jnp.arange(H, dtype=jnp.float32)[:, None]
         gx = jnp.arange(W, dtype=jnp.float32)[None, :]
-        out = jnp.zeros((N, H * W, self.features), x.dtype)
+        out = jnp.zeros((N, H * W, self.features), jnp.float32)
         t = 0
         for dy in range(-pad, pad + 1):
             for dx in range(-pad, pad + 1):
                 sy = gy + dy + off_y[..., t]  # (N, H, W)
                 sx = gx + dx + off_x[..., t]
-                s = bilinear_sample_pix(x, sx.reshape(N, -1),
-                                        sy.reshape(N, -1))  # (N, HW, C)
-                s = s * mask[..., t:t + 1].reshape(N, -1, 1)
-                out = out + s @ kmat[t]
+                s = bilinear_sample_pix(
+                    x, sx.reshape(N, -1), sy.reshape(N, -1),
+                    scale=mask[..., t].reshape(N, -1))  # (N, HW, C)
+                out = out + jnp.matmul(
+                    s, kmat[t], preferred_element_type=jnp.float32)
                 t += 1
-        out = out.reshape(N, H, W, self.features)
+        out = out.astype(x.dtype).reshape(N, H, W, self.features)
         if self.use_bias:
             bias = self.param("bias", constant(0.0), (self.features,),
                               jnp.float32)

@@ -1,0 +1,82 @@
+"""Multi-process (multi-host) initialization and global-array helpers.
+
+TPU-native counterpart of the reference's process-group setup
+(``deps/TransMVSNet/train.py:376-381`` —
+``torch.distributed.init_process_group(backend="nccl")`` + rank/world-size
+env plumbing): one :func:`initialize` call per host process, after which
+``jax.devices()`` spans every host's chips and the ordinary
+``('data', 'rays')`` mesh code in :mod:`diner_tpu.parallel` runs globally,
+with XLA routing collectives over ICI within a slice and DCN across hosts.
+
+Really executed in the test suite: ``tests/test_multiprocess.py`` launches
+two OS processes on the CPU backend (gloo collectives), initializes them
+against a local coordinator, and runs a cross-process psum, the metric
+all-reduce, the global barrier, and a sharded DINER train step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+__all__ = ["initialize", "make_global_array", "is_multiprocess"]
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the global JAX runtime (idempotent).
+
+    Arguments default to the standard env vars (``JAX_COORDINATOR_ADDRESS``,
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``) so launchers can configure
+    workers purely through the environment, like torchrun does with
+    RANK/WORLD_SIZE for the reference. On TPU pods all three may be omitted
+    and are discovered from the TPU metadata. On CPU the gloo collectives
+    implementation is selected so cross-process psums actually work.
+    """
+    # NOTE: no jax.devices()/process_count()/default_backend() calls before
+    # jax.distributed.initialize — they would initialize the XLA backend and
+    # make initialize() fail. Idempotence via the distributed client handle.
+    if jax._src.distributed.global_state.client is not None:
+        return  # already initialized
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # single-process run (or TPU pod auto-discovery)
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return  # not a distributed environment; stay single-process
+        return
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def make_global_array(host_value: np.ndarray, sharding) -> jax.Array:
+    """Build a global jax.Array from a host copy of the FULL value.
+
+    Single-process this is ``device_put``; multi-process each process
+    passes the same full ``host_value`` and contributes only its
+    addressable shards (the way every host loads the same batch file and
+    the runtime slices it, mirroring the reference's DistributedSampler
+    semantics when the per-host loader yields identical global batches).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(host_value, sharding)
+    host_value = np.asarray(host_value)
+    return jax.make_array_from_callback(
+        host_value.shape, sharding, lambda idx: host_value[idx])

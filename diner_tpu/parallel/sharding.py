@@ -52,17 +52,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch with scenes split over the data axis."""
+    """Device-put a host batch with scenes split over the data axis.
+
+    Works unchanged across processes: under a multi-host runtime every
+    process passes the same full host batch and contributes only its
+    addressable shards (`parallel/distributed.py make_global_array`).
+    """
+    from diner_tpu.parallel.distributed import make_global_array
+
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and v.ndim >= 1 and \
                 v.shape[0] % mesh.shape[DATA_AXIS] == 0:
-            out[k] = jax.device_put(v, sh)
+            out[k] = make_global_array(v, sh)
         else:
-            out[k] = jax.device_put(v, rep)
+            out[k] = make_global_array(v, rep)
     return out
+
+
+def replicate_pytree(tree, mesh: Mesh):
+    """Turn every leaf into a global fully-replicated array.
+
+    Needed under a multi-process runtime, where per-process (host-local)
+    arrays cannot feed a global jit: every process holds an identical copy
+    (same seed → same params) and contributes its addressable replicas.
+    """
+    from diner_tpu.parallel.distributed import make_global_array
+
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: make_global_array(np.asarray(x), rep), tree)
 
 
 def constrain_rays(x, spec: Optional[Tuple[Optional[str], ...]]):

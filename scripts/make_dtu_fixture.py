@@ -45,8 +45,14 @@ def _surface_z(x, y):
 
 
 def render_view(K_hr, E, H, W):
-    """Ray-march (3 fixed-point iters; gentle slopes) the surface from a
-    camera with world-to-cam extrinsic E; returns (rgb u8, depth f32)."""
+    """Ray-march (4 fixed-point iters; gentle slopes) the surface from a
+    camera with world-to-cam extrinsic E; returns (rgb u8, depth f32).
+
+    The iteration converges to *cam-space* depth only because every
+    generated extrinsic is a pure translation (R = I, see main()): then
+    world z == cam z and ``z`` below is the returned depth directly. If the
+    camera grid ever gains rotations, compute cam-space z explicitly as
+    ``(R @ p + t)[2]``."""
     R, t = E[:3, :3], E[:3, 3]
     cam_origin = -R.T @ t  # camera center in world
     u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
