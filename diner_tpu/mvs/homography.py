@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from diner_tpu.ops.grid_sample import grid_sample_bilinear
+from diner_tpu.ops.grid_sample import grid_sample_bilinear_imggrad
 
 
 def homo_warping(src_fea, src_proj, ref_proj, depth_values):
@@ -50,6 +50,13 @@ def homo_warping(src_fea, src_proj, ref_proj, depth_values):
     grid = jnp.stack([x_n, y_n], axis=-1)  # (B, D, HW, 2)
     grid = jax.lax.stop_gradient(grid)
 
-    warped = grid_sample_bilinear(src_fea, grid.reshape(B, D * H * W, 2),
-                                  padding_mode="zeros", align_corners=True)
+    # imggrad variant: the grid is stop_gradient-ed (exactly like the
+    # reference, where hypotheses derive from a detached prior depth), so
+    # the hand-written VJP skips the dead uv cotangent AND scatters the
+    # narrow-channel feature grads channels-major — the (D·H·W, C≤32)
+    # lane-padded cotangents were the HBM peak of the full-res training
+    # graph (BENCH.md "HBM OOM forensics").
+    warped = grid_sample_bilinear_imggrad(
+        src_fea, grid.reshape(B, D * H * W, 2), padding_mode="zeros",
+        align_corners=True)
     return warped.reshape(B, D, H, W, C)

@@ -186,14 +186,17 @@ def _bilinear_corners(img_shape, uv, padding_mode: str,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _gs_bilinear_imggrad(img, uv, padding_mode, img_shape, img_dtype):
-    out, _ = _gs_bilinear_fwd(img, uv, padding_mode, img_shape, img_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _gs_bilinear_imggrad(img, uv, padding_mode, img_shape, img_dtype,
+                         align_corners):
+    out, _ = _gs_bilinear_fwd(img, uv, padding_mode, img_shape, img_dtype,
+                              align_corners)
     return out
 
 
-def _gs_bilinear_fwd(img, uv, padding_mode, img_shape, img_dtype):
-    corners = _bilinear_corners(img.shape, uv, padding_mode)
+def _gs_bilinear_fwd(img, uv, padding_mode, img_shape, img_dtype,
+                     align_corners):
+    corners = _bilinear_corners(img.shape, uv, padding_mode, align_corners)
     out = None
     for ix, iy, wgt in corners:
         term = _gather_pixels(img, ix, iy) * wgt[..., None].astype(img.dtype)
@@ -201,10 +204,28 @@ def _gs_bilinear_fwd(img, uv, padding_mode, img_shape, img_dtype):
     return out, uv
 
 
-def _gs_bilinear_bwd(padding_mode, img_shape, img_dtype, uv, g):
+def _gs_bilinear_bwd(padding_mode, img_shape, img_dtype, align_corners,
+                     uv, g):
     N, H, W, C = img_shape
-    corners = _bilinear_corners(img_shape, uv, padding_mode)
+    corners = _bilinear_corners(img_shape, uv, padding_mode, align_corners)
     base = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
+    if C <= 32:
+        # Narrow-channel path (MVS plane-sweep features, C = 8/16/32):
+        # scatter CHANNELS-MAJOR. A (N·P, C≤32) f32 update tensor puts C in
+        # the TPU lane dim and is padded ×(128/C) — measured 1.25 GB per
+        # corner at MVS stage-3 (P = D·H·W = 2.6 M, C = 8), the peak of the
+        # full-res training graph. (C, N·P) keeps the big point axis in
+        # lanes: zero padding waste.
+        P = uv.shape[1]
+        gT = g.astype(jnp.float32).transpose(2, 0, 1).reshape(C, N * P)
+        acc = jnp.zeros((C, N * H * W), jnp.float32)
+        for ix, iy, wgt in corners:
+            idx = (base + iy * W + ix).reshape(-1)
+            acc = acc.at[:, idx].add(
+                gT * wgt.reshape(1, -1).astype(jnp.float32))
+        d_img = acc.reshape(C, N, H, W).transpose(1, 2, 3, 0).astype(
+            img_dtype)
+        return d_img, jnp.zeros_like(uv)
     acc = jnp.zeros((N * H * W, C), jnp.float32)
     g32 = g.astype(jnp.float32)
     for ix, iy, wgt in corners:
@@ -218,12 +239,14 @@ def _gs_bilinear_bwd(padding_mode, img_shape, img_dtype, uv, g):
 _gs_bilinear_imggrad.defvjp(_gs_bilinear_fwd, _gs_bilinear_bwd)
 
 
-def grid_sample_bilinear_imggrad(img, uv, padding_mode: str = "border"):
+def grid_sample_bilinear_imggrad(img, uv, padding_mode: str = "border",
+                                 align_corners: bool = False):
     """Bilinear point sampling with a hand-written VJP for the image only.
 
     Numerically identical to :func:`grid_sample_bilinear` in the forward.
     The backward differs from autodiff in two deliberate ways (this is the
-    framework's hottest gradient path — the 512-channel latent lookup):
+    framework's hottest gradient path — the 512-channel latent lookup, and
+    the MVS plane-sweep warp when ``align_corners=True``):
 
       - **no uv cotangent** (zeros returned): on the DINER path the sample
         coordinates come from ``stop_gradient``-ed sample positions and
@@ -233,11 +256,13 @@ def grid_sample_bilinear_imggrad(img, uv, padding_mode: str = "border"):
       - **f32 scatter accumulation**: corner weights × cotangent are
         accumulated into an f32 canvas and cast back to ``img.dtype`` once
         (sub-word scatter-add is measured slower on TPU, and f32
-        accumulation is more accurate for bf16 latents).
+        accumulation is more accurate for bf16 latents). For C ≤ 32 the
+        scatter runs channels-major to dodge TPU lane padding (see
+        ``_gs_bilinear_bwd``).
     """
     img = jnp.asarray(img)
     return _gs_bilinear_imggrad(img, uv, padding_mode, img.shape,
-                                str(img.dtype))
+                                str(img.dtype), align_corners)
 
 
 def grid_sample_exponential_nearest(

@@ -12,7 +12,7 @@ same executable serves both numbers):
     roof, gather-bound stages against measured HBM stream bandwidth.
 
 Progress prints per stage (compiles are slow); final JSON lands in
-ROOFLINE_r02.json plus a markdown table for BENCH.md.
+ROOFLINE_r03.json plus a markdown table for BENCH.md.
 Run on the TPU:  python -u scripts/roofline.py
 """
 
@@ -271,7 +271,36 @@ def main():
         "reps_per_measurement": REPS,
         "stages": rows,
     }
-    Path("ROOFLINE_r02.json").write_text(json.dumps(out, indent=2))
+
+    # merge the measured RANDOM-GATHER roofs (scripts/gather_roof.py —
+    # run it first; VERDICT r2 item 1) and place the two gather-bound
+    # stages against them.
+    gr_path = Path("GATHER_ROOF.json")
+    if gr_path.exists():
+        gr = json.loads(gr_path.read_text())
+        by = {r["stage"]: r for r in gr["stages"]}
+        narrow = by.get("flat take (4.10M idx, C=5 f32, uniform)")
+        wide = by.get("flat take (0.16M idx, C=512 bf16, uniform)")
+        bil = by.get("bilinear gather fwd (163840 pts, 512ch bf16 latent)")
+        out["roof_gather"] = {
+            "narrow_row_take_ms_at_sampler_shape": narrow["ms"],
+            "narrow_row_rate_mrows_per_s": round(4.096e6 / narrow["ms"]
+                                                 / 1e3, 1),
+            "wide_row_take_gbps": wide["gbps"],
+            "bilinear_512ch_fwd_ms_at_field_shape": bil["ms"],
+            "note": ("uniform == clustered == sorted (measured): the "
+                     "flat-take is per-index-rate-bound; locality/sort "
+                     "levers are dead. Wide rows amortize the per-row "
+                     "cost (C=512 bf16 reaches ~40 GB/s vs 3.7 GB/s at "
+                     "C=5 f32)."),
+        }
+        for r in rows:
+            if r["stage"].startswith("sampler fwd"):
+                r["pct_gather_roof"] = round(100 * narrow["ms"] / r["ms"], 1)
+            if r["stage"].startswith("field MLP fwd"):
+                # gather share of the stage vs the isolated bilinear roof
+                r["pct_gather_roof"] = round(100 * bil["ms"] / r["ms"], 1)
+    Path("ROOFLINE_r03.json").write_text(json.dumps(out, indent=2))
 
     print("\n| Stage | GFLOP | MB | ms | achieved | % roof |")
     print("|---|---|---|---|---|---|")
