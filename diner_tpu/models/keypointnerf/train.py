@@ -255,24 +255,31 @@ def render_full_image(model, cfg: KeypointNeRFConfig, params, batch, key,
     return np.clip(color, 0, 1), depth
 
 
-def fit_keypointnerf(run_cfg, max_steps: Optional[int] = None):
-    """Driver entry for scripts/train.py KeypointNeRF branch."""
-    from diner_tpu.data.loader import DataLoader
-    from diner_tpu.losses import init_vgg19_params
-    from diner_tpu.train import checkpoint as ckpt_lib
-
+def build_keypointnerf_run_config(run_cfg) -> "KeypointNeRFTrainConfig":
+    """YAML run config → KeypointNeRFTrainConfig (shared by
+    fit_keypointnerf and the hardware smoke / eval drivers)."""
     raw = run_cfg.raw
     kn = raw.get("keypoint_nerf", {})
     lambdas = kn.get("lambdas", {})
-    cfg = KeypointNeRFTrainConfig(
+    return KeypointNeRFTrainConfig(
         model=KeypointNeRFConfig(
-            znear=run_cfg.diner.znear, zfar=run_cfg.diner.zfar),
+            znear=run_cfg.diner.znear, zfar=run_cfg.diner.zfar,
+            **kn.get("kwargs", {})),
         lr=float(raw.get("optimizer_keypointnerf", {})
                  .get("kwargs", {}).get("lr", 1e-4)),
         lambda_l1_c=lambdas.get("lambda_l1_c", 1.0),
         lambda_l1=lambdas.get("lambda_l1", 10.0),
         lambda_vgg=lambdas.get("lambda_vgg", 0.5),
     )
+
+
+def fit_keypointnerf(run_cfg, max_steps: Optional[int] = None):
+    """Driver entry for scripts/train.py KeypointNeRF branch."""
+    from diner_tpu.data.loader import DataLoader
+    from diner_tpu.losses import init_vgg19_params
+    from diner_tpu.train import checkpoint as ckpt_lib
+
+    cfg = build_keypointnerf_run_config(run_cfg)
     train_set = run_cfg.build_dataset("train")
     loader = DataLoader(train_set, **{"batch_size": 1, "shuffle": True,
                                       **run_cfg.dataloader_kwargs("train")})

@@ -137,13 +137,9 @@ def make_novel_train_step(model: NovelPixelNeRF, cfg: NovelConfig):
     return step
 
 
-def fit_novel(run_cfg, max_steps=None, use_pe: bool = False):
-    """Driver entry for scripts/train.py NOVEL / NOVEL_PE branches."""
-    import numpy as np
-
-    from diner_tpu.data.loader import DataLoader
-    from diner_tpu.losses import init_vgg19_params
-    from diner_tpu.train import checkpoint as ckpt_lib
+def build_novel_run_config(run_cfg, use_pe: bool = False) -> NovelConfig:
+    """YAML run config → NovelConfig (shared by fit_novel and the
+    hardware smoke / eval drivers)."""
     from diner_tpu.train.config import (
         build_pixelnerf_config,
         build_renderer_config,
@@ -158,13 +154,23 @@ def fit_novel(run_cfg, max_steps=None, use_pe: bool = False):
             "compute_dtype")},
         use_pe_maps=use_pe)
     d = run_cfg.diner
-    cfg = NovelConfig(
+    return NovelConfig(
         nerf=nerf, renderer=build_renderer_config(raw["renderer"]),
         znear=d.znear, zfar=d.zfar, ray_batch_size=d.ray_batch_size,
         lr=d.lr, w_vgg=d.w_vgg, vgg_spatch=d.vgg_spatch,
         w_antibias=d.w_antibias,
         antibias_downsampling=d.antibias_downsampling)
 
+
+def fit_novel(run_cfg, max_steps=None, use_pe: bool = False):
+    """Driver entry for scripts/train.py NOVEL / NOVEL_PE branches."""
+    import numpy as np
+
+    from diner_tpu.data.loader import DataLoader
+    from diner_tpu.losses import init_vgg19_params
+    from diner_tpu.train import checkpoint as ckpt_lib
+
+    cfg = build_novel_run_config(run_cfg, use_pe)
     train_set = run_cfg.build_dataset("train")
     loader = DataLoader(train_set, **{"batch_size": 1, "shuffle": True,
                                       **run_cfg.dataloader_kwargs("train")})

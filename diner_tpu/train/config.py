@@ -65,9 +65,9 @@ def _build_facescape_regressor(stage: str, **kwargs):
 
 
 @register_dataset("synthetic_sphere")
-def _build_synth(stage: str, **kwargs):
+def _build_synth(stage: str, model: str = "DINER", **kwargs):
     from diner_tpu.data.synthetic_dataset import SphereDataset
-    return SphereDataset(stage=stage, **kwargs)
+    return SphereDataset(stage=stage, model=model, **kwargs)
 
 
 def build_dataset(conf: dict, stage: str, model: str = "DINER"):

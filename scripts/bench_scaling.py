@@ -97,11 +97,26 @@ def main():
         rate = args.rays * batch["target_rgb"].shape[0] / dt
         if base_rate is None:
             base_rate = rate / n
-        print(json.dumps({
+        row = {
             "devices": n, "mesh": dict(mesh.shape),
             "rays_per_sec": round(rate, 1),
             "efficiency_vs_1dev": round(rate / (base_rate * n), 3),
-        }))
+        }
+        if args.virtual:
+            # On a virtual mesh the n devices TIMESHARE the host's physical
+            # cores: wall-clock throughput cannot exceed ~cores/devices of
+            # linear scaling, so rays/s *declining* with mesh size is the
+            # hosting bound, not a sharding defect (numeric equality with
+            # the single-device step is the real evidence, test_parallel.py)
+            import os as _os
+            cores = _os.cpu_count() or 1
+            ceiling = min(1.0, cores / n)
+            row["host_cores"] = cores
+            row["expected_wallclock_ceiling_vs_linear"] = round(ceiling, 3)
+            row["throughput_vs_1dev"] = round(rate / base_rate, 3)
+            row["expected_throughput_ceiling"] = round(
+                min(float(n), float(cores)), 3)
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -122,6 +122,7 @@ def test_novel_render_end_to_end():
     assert float(jnp.linalg.norm(g["gen_latent"])) > 0
 
 
+@pytest.mark.slow
 def test_novel_pe_variant_field():
     batch, cfg, model, gen, variables = _novel_setup(use_pe=True)
     ctx, _ = model.apply(
@@ -137,6 +138,7 @@ def test_novel_pe_variant_field():
     assert "deformation_layer" in variables["params"]
 
 
+@pytest.mark.slow
 def test_dense_regressor_train_step():
     rng = np.random.RandomState(3)
     cfg = DenseRegressorConfig(backbone="resnet18", num_point=100,

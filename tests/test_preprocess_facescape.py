@@ -104,6 +104,7 @@ def test_load_ply_binary(tmp_path):
     assert fa.tolist() == [[0, 1, 2]]
 
 
+@pytest.mark.slow
 def test_preprocess_facescape_end_to_end(tmp_path):
     raw, rt_scale, lmk = _write_subject(tmp_path)
     out = tmp_path / "OUT" / "001"

@@ -223,6 +223,7 @@ def _pipeline_parity(backbone, blocks, d_hidden, image_padding, H, nv,
     np.testing.assert_allclose(grad_j / scale, grad_t / scale, atol=grad_tol)
 
 
+@pytest.mark.slow
 def test_reference_pipeline_parity_small():
     """Default-tier true-reference parity (resnet18-sized encoder)."""
     _pipeline_parity(backbone="resnet18", blocks=(2, 2, 2, 2), d_hidden=64,

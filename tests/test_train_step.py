@@ -112,6 +112,7 @@ def test_vgg_loss_runs_and_differentiates():
     assert float(vgg_loss(params, y, y)) == 0.0
 
 
+@pytest.mark.slow
 def test_vgg_loss_bf16_close_to_f32():
     """Mixed-precision VGG path (production recipe) tracks the f32 loss."""
     import jax.numpy as jnp
