@@ -44,8 +44,85 @@ class ConvBnReLU(nn.Module):
         return x
 
 
+class TapConvIn1(nn.Module):
+    """3-D conv with C_in = 1 taking a CHANNEL-FREE (B, D, H, W) volume.
+
+    Numerically identical to ``nn.Conv(F, (k,k,k))`` on ``x[..., None]``
+    and stores the identical param schema (kernel (k,k,k,1,F) under the
+    same name), but never materializes a trailing-singleton tensor: on TPU
+    a (…, 1) minor dim is lane-padded ×128+ (measured 1.25 GB on a 5 MB
+    cost volume — the peak of the full-res MVS training graph). Computed
+    as a k³-tap weighted sum of shifted volumes (one XLA fusion).
+    """
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        pad = k // 2
+        B, D, H, W = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, k, 1, self.features))
+        wk = w[..., 0, :].astype(self.dtype)  # (k, k, k, F)
+        x = x.astype(self.dtype)
+        xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (pad, pad)])
+        out = None
+        for dz in range(k):
+            for dy in range(k):
+                for dx in range(k):
+                    term = xp[:, dz:dz + D, dy:dy + H,
+                              dx:dx + W][..., None] * wk[dz, dy, dx]
+                    out = term if out is None else out + term
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(out.dtype)
+        return out
+
+
+class TapConvOut1(nn.Module):
+    """3-D conv with C_out = 1 returning a CHANNEL-FREE (B, D, H, W) map.
+
+    Same param schema as ``nn.Conv(1, (k,k,k))`` (kernel (k,k,k,C,1) [+
+    bias (1,)]); avoids the (…, 1)-singleton output/cotangent tensors
+    (×128+ TPU lane padding). Used for CostRegNet's ``prob`` head and
+    PixelwiseNet's final 1×1×1 conv.
+    """
+
+    kernel: int = 3
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h):
+        k = self.kernel
+        pad = k // 2
+        B, D, H, W, C = h.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, k, C, 1))
+        wk = w[..., 0].astype(self.dtype)  # (k, k, k, C)
+        hp = jnp.pad(h, [(0, 0), (pad, pad), (pad, pad), (pad, pad),
+                         (0, 0)]) if pad else h
+        out = None
+        for dz in range(k):
+            for dy in range(k):
+                for dx in range(k):
+                    term = jnp.sum(
+                        hp[:, dz:dz + D, dy:dy + H, dx:dx + W]
+                        * wk[dz, dy, dx], axis=-1)
+                    out = term if out is None else out + term
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (1,))
+            out = out + b[0].astype(out.dtype)
+        return out
+
+
 class ConvBnReLU3D(nn.Module):
-    """3-D conv (+BN, +ReLU). Input (N, D, H, W, C)."""
+    """3-D conv (+BN, +ReLU). Input (N, D, H, W, C), or a channel-free
+    (N, D, H, W) volume (C_in = 1 without the singleton — see TapConvIn1)."""
 
     features: int
     kernel: int = 3
@@ -58,10 +135,16 @@ class ConvBnReLU3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         pad = self.padding if self.padding is not None else self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel,) * 3,
-                    strides=(self.stride,) * 3,
-                    padding=[(pad, pad)] * 3, use_bias=not self.bn,
-                    dtype=self.dtype, name="conv")(x)
+        if x.ndim == 4:
+            assert self.stride == 1 and pad == self.kernel // 2
+            x = TapConvIn1(self.features, self.kernel,
+                           use_bias=not self.bn, dtype=self.dtype,
+                           name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel,) * 3,
+                        strides=(self.stride,) * 3,
+                        padding=[(pad, pad)] * 3, use_bias=not self.bn,
+                        dtype=self.dtype, name="conv")(x)
         if self.bn:
             x = _norm(train, self.dtype, "bn")(x)
         if self.relu:

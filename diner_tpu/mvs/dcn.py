@@ -99,11 +99,13 @@ class DeformConv2d(nn.Module):
         # concat @ W, but never materializes the (N, H, W, K·C) patch
         # tensor (1.4 GB at DTU stage-3 shapes — the HBM peak of the
         # full-res training graph). The cross-tap accumulator is f32 (the
-        # im2col form summed all K·C products in f32 inside the MXU; the
-        # buffer is tiny since features ≤ 64), cast to x.dtype once at end.
+        # im2col form summed all K·C products in f32 inside the MXU) and
+        # CHANNELS-MAJOR (N, F, H·W): an (N, H·W, F≤32) f32 buffer would
+        # be TPU-lane-padded ×(128/F); with the big pixel axis minor the
+        # padding is zero. Cast + transpose to x.dtype once at the end.
         gy = jnp.arange(H, dtype=jnp.float32)[:, None]
         gx = jnp.arange(W, dtype=jnp.float32)[None, :]
-        out = jnp.zeros((N, H * W, self.features), jnp.float32)
+        out = jnp.zeros((N, self.features, H * W), jnp.float32)
         t = 0
         for dy in range(-pad, pad + 1):
             for dx in range(-pad, pad + 1):
@@ -112,10 +114,16 @@ class DeformConv2d(nn.Module):
                 s = bilinear_sample_pix(
                     x, sx.reshape(N, -1), sy.reshape(N, -1),
                     scale=mask[..., t].reshape(N, -1))  # (N, HW, C)
-                out = out + jnp.matmul(
-                    s, kmat[t], preferred_element_type=jnp.float32)
+                # einsum in x.dtype (MXU accumulates f32 internally), cast
+                # the per-tap RESULT to f32 for the cross-tap sum: with
+                # preferred_element_type=f32 the einsum's backward emits
+                # f32 (N·H·W, C) cotangents (160 MB each ×7 live at MVS
+                # full-res); the astype keeps the backward in x.dtype.
+                out = out + jnp.einsum("npc,cf->nfp", s,
+                                       kmat[t]).astype(jnp.float32)
                 t += 1
-        out = out.astype(x.dtype).reshape(N, H, W, self.features)
+        out = out.transpose(0, 2, 1).astype(x.dtype).reshape(
+            N, H, W, self.features)
         if self.use_bias:
             bias = self.param("bias", constant(0.0), (self.features,),
                               jnp.float32)

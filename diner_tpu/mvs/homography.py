@@ -28,16 +28,21 @@ def homo_warping(src_fea, src_proj, ref_proj, depth_values):
     B, H, W, C = src_fea.shape
     D = depth_values.shape[1]
 
-    proj = src_proj @ jnp.linalg.inv(ref_proj)
+    # ALL projection math in f32 regardless of the feature dtype: bf16
+    # cannot represent integer pixel coordinates above 256 (257 rounds),
+    # which would quantize the warp grid at 512×640 / 256×320 shapes.
+    # Only the sampled feature values stay in src_fea.dtype.
+    proj = (src_proj.astype(jnp.float32)
+            @ jnp.linalg.inv(ref_proj.astype(jnp.float32)))
     rot = proj[:, :3, :3]
     trans = proj[:, :3, 3]
 
-    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=src_fea.dtype),
-                          jnp.arange(W, dtype=src_fea.dtype), indexing="ij")
-    xyz = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(H * W, src_fea.dtype)])
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    xyz = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(H * W, jnp.float32)])
     rot_xyz = jnp.einsum("bij,jp->bip", rot, xyz,
                          precision="highest")  # (B, 3, HW)
-    dv = depth_values.reshape(B, 1, D, -1)  # (B, 1, D, HW or 1)
+    dv = depth_values.astype(jnp.float32).reshape(B, 1, D, -1)
     rot_depth_xyz = rot_xyz[:, :, None, :] * dv  # (B, 3, D, HW)
     proj_xyz = rot_depth_xyz + trans[:, :, None, None]
     z = proj_xyz[:, 2]  # (B, D, HW)

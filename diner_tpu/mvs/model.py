@@ -24,7 +24,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from diner_tpu.mvs.blocks import ConvBnReLU, ConvBnReLU3D, DeconvBnReLU3D
+from diner_tpu.mvs.blocks import (
+    ConvBnReLU,
+    ConvBnReLU3D,
+    DeconvBnReLU3D,
+    TapConvOut1,
+)
 from diner_tpu.mvs.dcn import DeformConv2d
 from diner_tpu.mvs.fmt import FMTWithPathway
 from diner_tpu.mvs.homography import homo_warping
@@ -66,37 +71,37 @@ class FeatureNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         bc = self.base_channels
-        conv0 = ConvBnReLU(bc, 3, name="conv0_0")(x, train)
-        conv0 = ConvBnReLU(bc, 3, name="conv0_1")(conv0, train)
+        conv0 = ConvBnReLU(bc, 3, dtype=self.dtype, name="conv0_0")(x, train)
+        conv0 = ConvBnReLU(bc, 3, dtype=self.dtype, name="conv0_1")(conv0, train)
         conv1 = ConvBnReLU(2 * bc, 5, stride=2, padding=2,
-                           name="conv1_0")(conv0, train)
-        conv1 = ConvBnReLU(2 * bc, 3, name="conv1_1")(conv1, train)
-        conv1 = ConvBnReLU(2 * bc, 3, name="conv1_2")(conv1, train)
+                           dtype=self.dtype, name="conv1_0")(conv0, train)
+        conv1 = ConvBnReLU(2 * bc, 3, dtype=self.dtype, name="conv1_1")(conv1, train)
+        conv1 = ConvBnReLU(2 * bc, 3, dtype=self.dtype, name="conv1_2")(conv1, train)
         conv2 = ConvBnReLU(4 * bc, 5, stride=2, padding=2,
-                           name="conv2_0")(conv1, train)
-        conv2 = ConvBnReLU(4 * bc, 3, name="conv2_1")(conv2, train)
-        conv2 = ConvBnReLU(4 * bc, 3, name="conv2_2")(conv2, train)
+                           dtype=self.dtype, name="conv2_0")(conv1, train)
+        conv2 = ConvBnReLU(4 * bc, 3, dtype=self.dtype, name="conv2_1")(conv2, train)
+        conv2 = ConvBnReLU(4 * bc, 3, dtype=self.dtype, name="conv2_2")(conv2, train)
 
         def bn(h, name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name)(h)
 
         # out1: 1x1 conv + 3 DCNs with BN+ReLU between
-        h = ConvBnReLU(4 * bc, 1, padding=0, name="out1_conv")(conv2, train)
+        h = ConvBnReLU(4 * bc, 1, padding=0, dtype=self.dtype, name="out1_conv")(conv2, train)
         h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out1_dcn0")(h), "out1_bn0"))
         h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out1_dcn1")(h), "out1_bn1"))
         stage1 = DeformConv2d(4 * bc, dtype=self.dtype, name="out1_dcn2")(h)
 
         intra = resize_nearest_2x(conv2) + nn.Conv(
             4 * bc, (1, 1), dtype=self.dtype, name="inner1")(conv1)
-        h = ConvBnReLU(4 * bc, 3, name="out2_conv")(intra, train)
+        h = ConvBnReLU(4 * bc, 3, dtype=self.dtype, name="out2_conv")(intra, train)
         h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out2_dcn0")(h), "out2_bn0"))
         h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out2_dcn1")(h), "out2_bn1"))
         stage2 = DeformConv2d(2 * bc, dtype=self.dtype, name="out2_dcn2")(h)
 
         intra = resize_nearest_2x(intra) + nn.Conv(
             4 * bc, (1, 1), dtype=self.dtype, name="inner2")(conv0)
-        h = ConvBnReLU(4 * bc, 3, name="out3_conv")(intra, train)
+        h = ConvBnReLU(4 * bc, 3, dtype=self.dtype, name="out3_conv")(intra, train)
         h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out3_dcn0")(h), "out3_bn0"))
         h = nn.relu(bn(DeformConv2d(4 * bc, dtype=self.dtype, name="out3_dcn1")(h), "out3_bn1"))
         stage3 = DeformConv2d(bc, dtype=self.dtype, name="out3_dcn2")(h)
@@ -112,16 +117,29 @@ class PixelwiseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        # x: (B, D, H, W) squeezed similarity; channel added transiently
-        x = ConvBnReLU3D(16, 1, padding=0, name="conv0")(x[..., None], train)
-        x = ConvBnReLU3D(8, 1, padding=0, name="conv1")(x, train)
-        x = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv2")(x)
-        x = nn.sigmoid(x[..., 0])  # (B, D, H, W)
+        # x: (B, D, H, W) squeezed similarity — the C_in=1 first conv and
+        # C_out=1 last conv run as tap equivalents so no (…, 1)-singleton
+        # (×128 TPU lane padding) is ever materialized
+        x = ConvBnReLU3D(16, 1, padding=0, dtype=self.dtype,
+                         name="conv0")(x, train)
+        x = ConvBnReLU3D(8, 1, padding=0, dtype=self.dtype,
+                         name="conv1")(x, train)
+        x = TapConvOut1(kernel=1, use_bias=True, dtype=self.dtype,
+                        name="conv2")(x)
+        x = nn.sigmoid(x)  # (B, D, H, W)
         return jnp.max(x, axis=1, keepdims=True)  # (B, 1, H, W)
 
 
 class CostRegNet(nn.Module):
-    """3-D UNet cost regularization. (B, D, H, W, Cin) → (B, D, H, W, 1)."""
+    """3-D UNet cost regularization. (B, D, H, W) → (B, D, H, W).
+
+    Input and output are CHANNEL-FREE volumes: the reference's C_in = 1 /
+    C_out = 1 convs (module.py:424-455) run as tap-sum equivalents
+    (blocks.TapConvIn1/Out1, identical params + math) because a trailing
+    singleton dim is lane-padded ×128+ on TPU — the two largest
+    allocations of the full-res training graph (1.25 GB each on 5 MB of
+    payload) were exactly the (B,D,H,W,1) tensors at this boundary.
+    """
 
     base_channels: int = 8
     dtype: Any = jnp.float32
@@ -129,18 +147,18 @@ class CostRegNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         bc = self.base_channels
-        c0 = ConvBnReLU3D(bc, name="conv0")(x, train)
-        c2 = ConvBnReLU3D(2 * bc, stride=2, name="conv1")(c0, train)
-        c2 = ConvBnReLU3D(2 * bc, name="conv2")(c2, train)
-        c4 = ConvBnReLU3D(4 * bc, stride=2, name="conv3")(c2, train)
-        c4 = ConvBnReLU3D(4 * bc, name="conv4")(c4, train)
-        h = ConvBnReLU3D(8 * bc, stride=2, name="conv5")(c4, train)
-        h = ConvBnReLU3D(8 * bc, name="conv6")(h, train)
-        h = c4 + DeconvBnReLU3D(4 * bc, name="conv7")(h, train)
-        h = c2 + DeconvBnReLU3D(2 * bc, name="conv9")(h, train)
-        h = c0 + DeconvBnReLU3D(bc, name="conv11")(h, train)
-        return nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                       dtype=self.dtype, name="prob")(h)
+        dt = self.dtype
+        c0 = ConvBnReLU3D(bc, dtype=dt, name="conv0")(x, train)
+        c2 = ConvBnReLU3D(2 * bc, stride=2, dtype=dt, name="conv1")(c0, train)
+        c2 = ConvBnReLU3D(2 * bc, dtype=dt, name="conv2")(c2, train)
+        c4 = ConvBnReLU3D(4 * bc, stride=2, dtype=dt, name="conv3")(c2, train)
+        c4 = ConvBnReLU3D(4 * bc, dtype=dt, name="conv4")(c4, train)
+        h = ConvBnReLU3D(8 * bc, stride=2, dtype=dt, name="conv5")(c4, train)
+        h = ConvBnReLU3D(8 * bc, dtype=dt, name="conv6")(h, train)
+        h = c4 + DeconvBnReLU3D(4 * bc, dtype=dt, name="conv7")(h, train)
+        h = c2 + DeconvBnReLU3D(2 * bc, dtype=dt, name="conv9")(h, train)
+        h = c0 + DeconvBnReLU3D(bc, dtype=dt, name="conv11")(h, train)
+        return TapConvOut1(dtype=self.dtype, name="prob")(h)
 
 
 def get_depth_range_samples(cur_depth, ndepth: int, depth_interval_pixel,
@@ -203,16 +221,33 @@ class DepthNet(nn.Module):
         dv_flat = depth_values.reshape(B, D, H * W)
 
         def warp_similarity(src_fea, ref_fea, src_proj, ref_proj, dvf):
-            warped = homo_warping(src_fea, src_proj, ref_proj,
-                                  dvf)  # (B, D, H, W, C)
-            # squeeze the channel: a trailing dim of 1 puts the singleton
-            # in the TPU lane dimension and XLA pads it x128 (measured:
-            # +478 MB on a 1.9 MB tensor) — carry (B, D, H, W) instead
-            return jnp.mean(warped * ref_fea[:, None], axis=-1)
+            # DEPTH-CHUNKED plane sweep: never materializes the full
+            # (B, D, H, W, C) warped volume or its backward copies — at
+            # 512×640 stage 2 those were four 1.25 GB lane-padded
+            # f32[2.6M, 16] buffers (the HBM peak). A lax.scan over
+            # depth chunks keeps one (B, chunk, H, W, C) plane group
+            # live at a time; the gathers dominate the cost either way
+            # so the sequentialization is ~free.
+            D_ = dvf.shape[1]
+            chunk = D_ if D_ <= 8 else 8  # 48/32/8 (DTU), 96/64/16 (FS)
+            if D_ % chunk:
+                chunk = 1
+            dv = dvf.reshape(B, D_ // chunk, chunk, H * W)
+            dv = jnp.moveaxis(dv, 1, 0)  # (nchunks, B, chunk, HW)
+
+            def body(_, dv_c):
+                warped = homo_warping(src_fea, src_proj, ref_proj,
+                                      dv_c)  # (B, chunk, H, W, C)
+                # squeeze the channel immediately: a trailing 1 would be
+                # lane-padded x128
+                return 0.0, jnp.mean(warped * ref_fea[:, None], axis=-1)
+
+            _, sims = jax.lax.scan(body, 0.0, dv)
+            return jnp.moveaxis(sims, 0, 1).reshape(B, D_, H, W)
 
         if self.remat:
-            # don't keep the (B, D, H, W, C) warped features for backward;
-            # recompute the plane-sweep in the bwd pass
+            # don't keep the warped plane groups for backward; recompute
+            # the plane-sweep in the bwd pass
             warp_similarity = jax.checkpoint(warp_similarity)
 
         similarity_sum = 0.0
@@ -231,8 +266,7 @@ class DepthNet(nn.Module):
             weight_sum = weight_sum + w
         similarity = similarity_sum / weight_sum  # (B, D, H, W)
 
-        cost_reg = cost_regularization(similarity[..., None],
-                                       train)[..., 0]  # (B, D, H, W)
+        cost_reg = cost_regularization(similarity, train)  # (B, D, H, W)
         prob_volume = jax.nn.softmax(cost_reg, axis=1)
         depth = depth_wta(prob_volume, depth_values)
         confidence = jax.lax.stop_gradient(jnp.max(prob_volume, axis=1))

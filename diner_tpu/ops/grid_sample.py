@@ -217,7 +217,11 @@ def _gs_bilinear_bwd(padding_mode, img_shape, img_dtype, align_corners,
         # full-res training graph. (C, N·P) keeps the big point axis in
         # lanes: zero padding waste.
         P = uv.shape[1]
-        gT = g.astype(jnp.float32).transpose(2, 0, 1).reshape(C, N * P)
+        # transpose FIRST, cast after: casting (N, P, C) to f32 before the
+        # transpose materializes a lane-padded ×(128/C) f32 copy (measured
+        # 1.25 GB at MVS stage-2 shapes); in (C, N·P) the f32 copy is
+        # padding-free.
+        gT = g.transpose(2, 0, 1).reshape(C, N * P).astype(jnp.float32)
         acc = jnp.zeros((C, N * H * W), jnp.float32)
         for ix, iy, wgt in corners:
             idx = (base + iy * W + ix).reshape(-1)

@@ -79,7 +79,7 @@ def main():
         compiled = jax.jit(step).lower(state, batch).compile()
     except Exception as e:  # OOM: print the allocation table and exit 2
         print(f"COMPILE FAILED after {time.perf_counter() - t0:.0f}s:")
-        print(str(e)[:8000])
+        print(str(e)[:20000])
         sys.exit(2)
     dt = time.perf_counter() - t0
     ma = compiled.memory_analysis()
