@@ -64,7 +64,14 @@ def main():
     example = trainer._to_device_batch(
         next(iter(__import__("diner_tpu.data.loader", fromlist=["DataLoader"])
                   .DataLoader(trainer.val_set, batch_size=1, num_workers=0))))
-    model, state = create_state(dcfg, jax.random.PRNGKey(0), example)
+    # a checkpoint trained with the VGG loss stores vgg_params; the fresh
+    # state must carry the same tree structure for orbax to restore it
+    vgg_params = None
+    if getattr(dcfg, "w_vgg", 0) and dcfg.w_vgg > 0:
+        from diner_tpu.losses import init_vgg19_params
+        vgg_params = init_vgg19_params()
+    model, state = create_state(dcfg, jax.random.PRNGKey(0), example,
+                                vgg_params)
     state = ckpt_lib.restore_checkpoint(args.ckpt, state)
     eval_step = jax.jit(make_eval_step(model, dcfg))
 
