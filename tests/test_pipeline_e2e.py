@@ -9,7 +9,7 @@ seam: the depth/conf PNGs the DINER loader reads are the ones the MVS
 subsystem just wrote. Match: reference README.md:105-131,
 deps/TransMVSNet/train.py:152-208, src/data/dtu.py:104-108.
 
-Heavy (full-protocol 512×640 MVS shapes compile slowly on CPU): ~15-25 min,
+Heavy (full-protocol 512×640 MVS shapes compile slowly on CPU): ~45 min,
 slow tier. Set DINER_DTU_FIXTURE=<path> to reuse an existing fixture.
 """
 
