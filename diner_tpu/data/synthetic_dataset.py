@@ -71,6 +71,8 @@ class SphereDataset:
 
         seed = idx + (100_000 if self.stage == "val" else 0)
         if self.model == "KeypointNeRF":
+            sample["src_alphas"] = (
+                sample["src_depths"] > 0).astype(np.float32)
             sample["target_mask"] = sample["target_alpha"][..., 0]
             sample["target_kpt3d"] = self._surface_points(self.n_kpt, seed)
             r = _RADIUS + 0.2

@@ -47,7 +47,11 @@ def create_novel_state(cfg: NovelConfig, rng, example_batch,
     model = NovelPixelNeRF(cfg=cfg.nerf)
     b = example_batch
     H, W = b["target_rgb"].shape[1:3]
-    gen = make_gen_context(b["gen_extrinsics"], b["gen_intrinsics"], (W, H))
+    gen = make_gen_context(
+        b["gen_extrinsics"], b["gen_intrinsics"], (W, H),
+        src_pe_maps=b.get("src_pos_encodings"),
+        tgt_pe_map=(b["target_pos_encoding"][:, None]
+                    if "target_pos_encoding" in b else None))
     variables = model.init(
         rng, b["src_rgbs"], b["src_depths"], b["src_depth_stds"],
         b["src_extrinsics"], b["src_intrinsics"], gen,

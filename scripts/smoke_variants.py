@@ -108,9 +108,13 @@ def main():
                "steps": args.steps, "models": {}}
 
     for model_name in args.models:
+        # KeypointNeRF's stacked-hourglass geometry encoder needs its
+        # reference input size (256², facescape.py:45) — smaller inputs
+        # collapse to zero-size pyramid levels
+        mh, mw = (256, 256) if model_name == "KeypointNeRF" else (H, W)
         cfg_path = work / f"{model_name}.yaml"
         cfg_path.write_text(YAML.format(
-            work=work, model=model_name, H=H, W=W,
+            work=work, model=model_name, H=mh, W=mw,
             dtype=args.dtype if model_name != "KeypointNeRF" else "float32"))
         log = work / f"{model_name}.log"
         print(f"[smoke] {model_name}: training {args.steps} steps...",
