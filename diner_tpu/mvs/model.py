@@ -50,6 +50,10 @@ class TransMVSNetConfig:
     # FMT positional encoding: 'sine' (reference default, FMT.py:126) or
     # 'superglue' (the learned keypoint-MLP variant, FMT.py:125)
     fmt_pe_type: str = "sine"
+    # depth planes per plane-sweep scan step (memory/speed trade: the
+    # (B, chunk, H, W, C) warped group is the live buffer; 8 fits full-res
+    # DTU training in HBM, larger chunks amortize scan overhead)
+    sweep_chunk: int = 8
     # rematerialize FeatureNet / the warp+correlation / CostRegNet in
     # backward. The full 512x640 DTU training graph needs ~46 GB of
     # activations without it (the reference trains on an A100-80GB); remat
@@ -193,6 +197,7 @@ class DepthNet(nn.Module):
 
     dtype: Any = jnp.float32
     remat: bool = False
+    sweep_chunk: int = 8  # depth planes per plane-sweep scan step
 
     def setup(self):
         self.pixel_wise_net = PixelwiseNet(dtype=self.dtype)
@@ -229,8 +234,8 @@ class DepthNet(nn.Module):
             # live at a time; the gathers dominate the cost either way
             # so the sequentialization is ~free.
             D_ = dvf.shape[1]
-            chunk = D_ if D_ <= 8 else 8  # 48/32/8 (DTU), 96/64/16 (FS)
-            if D_ % chunk:
+            chunk = D_ if D_ <= self.sweep_chunk else self.sweep_chunk
+            if D_ % chunk:  # 48/32/8 (DTU) and 96/64/16 (FS) divide by 8/16
                 chunk = 1
             dv = dvf.reshape(B, D_ // chunk, chunk, H * W)
             dv = jnp.moveaxis(dv, 1, 0)  # (nchunks, B, chunk, HW)
@@ -300,7 +305,8 @@ class TransMVSNet(nn.Module):
             cost_cls(self.cfg.cr_base_chs[i], dtype=self.dtype,
                      name=f"cost_reg_{i}")
             for i in range(self.cfg.num_stage)]
-        self.depth_net = DepthNet(dtype=self.dtype, remat=self.cfg.remat)
+        self.depth_net = DepthNet(dtype=self.dtype, remat=self.cfg.remat,
+                                  sweep_chunk=self.cfg.sweep_chunk)
 
     def __call__(self, imgs, proj_matrices: Dict[str, jnp.ndarray],
                  depth_values, train: bool = True) -> Dict:

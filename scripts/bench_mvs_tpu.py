@@ -70,6 +70,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--outpath", default="/tmp/mvs_pred")
     ap.add_argument("--skip-write", action="store_true")
+    ap.add_argument("--sweep-chunk", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -88,7 +89,8 @@ def main():
     cfg = MVSTrainConfig(
         model=TransMVSNetConfig(ndepths=(48, 32, 8),
                                 depth_intervals_ratio=(4.0, 1.0, 0.5),
-                                remat=True),
+                                remat=True,
+                                sweep_chunk=args.sweep_chunk),
         compute_dtype=args.dtype)
 
     train_ds = CroppedDTU(MVSDTUDataset(
