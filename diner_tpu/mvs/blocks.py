@@ -70,17 +70,21 @@ class TapConvIn1(nn.Module):
         wk = w[..., 0, :].astype(self.dtype)  # (k, k, k, F)
         x = x.astype(self.dtype)
         xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (pad, pad)])
+        # accumulate the k^3 taps in f32 (nn.Conv accumulates f32 inside
+        # the conv op; a bf16-running-sum of 27 terms diverges) and cast
+        # once — the accumulator is the small F-channel output tensor.
         out = None
         for dz in range(k):
             for dy in range(k):
                 for dx in range(k):
-                    term = xp[:, dz:dz + D, dy:dy + H,
-                              dx:dx + W][..., None] * wk[dz, dy, dx]
+                    term = (xp[:, dz:dz + D, dy:dy + H,
+                               dx:dx + W][..., None]
+                            * wk[dz, dy, dx]).astype(jnp.float32)
                     out = term if out is None else out + term
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + b.astype(out.dtype)
-        return out
+        return out.astype(self.dtype)
 
 
 class TapConvOut1(nn.Module):
@@ -107,17 +111,18 @@ class TapConvOut1(nn.Module):
         hp = jnp.pad(h, [(0, 0), (pad, pad), (pad, pad), (pad, pad),
                          (0, 0)]) if pad else h
         out = None
+        # f32 tap accumulation, cast once (see TapConvIn1)
         for dz in range(k):
             for dy in range(k):
                 for dx in range(k):
                     term = jnp.sum(
-                        hp[:, dz:dz + D, dy:dy + H, dx:dx + W]
-                        * wk[dz, dy, dx], axis=-1)
+                        (hp[:, dz:dz + D, dy:dy + H, dx:dx + W]
+                         * wk[dz, dy, dx]).astype(jnp.float32), axis=-1)
                     out = term if out is None else out + term
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (1,))
             out = out + b[0].astype(out.dtype)
-        return out
+        return out.astype(self.dtype)
 
 
 class ConvBnReLU3D(nn.Module):

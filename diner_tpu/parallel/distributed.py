@@ -39,9 +39,17 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     # NOTE: no jax.devices()/process_count()/default_backend() calls before
     # jax.distributed.initialize — they would initialize the XLA backend and
-    # make initialize() fail. Idempotence via the distributed client handle.
-    if jax._src.distributed.global_state.client is not None:
-        return  # already initialized
+    # make initialize() fail. Idempotence via the distributed client handle;
+    # the private-attribute probe is fenced so a JAX upgrade that moves it
+    # degrades to "attempt initialize, swallow the already-initialized
+    # error" instead of an AttributeError at call time.
+    try:
+        if jax._src.distributed.global_state.client is not None:
+            return  # already initialized
+    except AttributeError:
+        is_init = getattr(jax.distributed, "is_initialized", None)
+        if is_init is not None and is_init():
+            return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
@@ -57,9 +65,13 @@ def initialize(coordinator_address: Optional[str] = None,
         return
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:  # idempotence fallback (see probe above)
+        if "already" not in str(e).lower():
+            raise
 
 
 def is_multiprocess() -> bool:

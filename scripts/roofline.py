@@ -282,6 +282,13 @@ def main():
         narrow = by.get("flat take (4.10M idx, C=5 f32, uniform)")
         wide = by.get("flat take (0.16M idx, C=512 bf16, uniform)")
         bil = by.get("bilinear gather fwd (163840 pts, 512ch bf16 latent)")
+        if not (narrow and wide and bil):
+            print("WARNING: GATHER_ROOF.json stage names don't match the "
+                  "expected probes; skipping the roof_gather merge "
+                  f"(narrow={bool(narrow)} wide={bool(wide)} "
+                  f"bil={bool(bil)})")
+            narrow = None
+    if gr_path.exists() and narrow:
         out["roof_gather"] = {
             "narrow_row_take_ms_at_sampler_shape": narrow["ms"],
             "narrow_row_rate_mrows_per_s": round(4.096e6 / narrow["ms"]

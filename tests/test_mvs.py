@@ -368,3 +368,42 @@ def test_remat_and_bf16_modes_run_and_match():
     vbf = bf.init(jax.random.PRNGKey(0), imgs, proj, dvals, train=False)
     outb = bf.apply(vbf, imgs, proj, dvals, train=False)
     assert np.isfinite(np.asarray(outb["depth"])).all()
+
+
+def test_sweep_chunk_parity():
+    """The multi-chunk plane-sweep scan (D > sweep_chunk — the production
+    48/32 depth stages) must match the single-chunk path bit-for-bit;
+    every other test collapses to one chunk via ndepths=(8,8,8)."""
+    from diner_tpu.mvs.model import TransMVSNet, TransMVSNetConfig
+
+    V, H, W = 2, 32, 32
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(1, V, H, W, 3), jnp.float32)
+    intr = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                    np.float32)
+    extr = np.stack([np.eye(4, dtype=np.float32) for _ in range(V)])
+    extr[1, 0, 3] = 0.1
+    proj = {}
+    for si, scale in enumerate([0.25, 0.5, 1.0]):
+        P = np.zeros((1, V, 2, 4, 4), np.float32)
+        for v in range(V):
+            P[0, v, 0] = extr[v]
+            K = intr.copy()
+            K[:2] *= scale
+            P[0, v, 1, :3, :3] = K
+        proj[f"stage{si + 1}"] = jnp.asarray(P)
+    dvals = jnp.linspace(0.5, 1.5, 48)[None].astype(jnp.float32)
+
+    cfg1 = TransMVSNetConfig(ndepths=(16, 8, 8), sweep_chunk=16)
+    one = TransMVSNet(cfg=cfg1)
+    variables = one.init(jax.random.PRNGKey(0), imgs, proj, dvals,
+                         train=False)
+    out1 = one.apply(variables, imgs, proj, dvals, train=False)
+
+    chunked = TransMVSNet(
+        cfg=TransMVSNetConfig(ndepths=(16, 8, 8), sweep_chunk=4))
+    out4 = chunked.apply(variables, imgs, proj, dvals, train=False)
+
+    for k in ("depth", "photometric_confidence", "prob_volume"):
+        np.testing.assert_array_equal(np.asarray(out1[k]),
+                                      np.asarray(out4[k]))
