@@ -50,13 +50,16 @@ def _imwrite(path, img: np.ndarray):
     imageio.imwrite(path, img)
 
 
-def evaluate_folder(source_dir, outdir, lpips_params="proxy",
+def evaluate_folder(source_dir, outdir, lpips_params="auto",
                     pred_suffix: str = PRED_SUFFIX,
                     gt_suffix: str = GT_SUFFIX) -> Dict[str, float]:
     """Score every (gt, pred) pair in `source_dir`; write reports to `outdir`.
 
-    lpips_params: "proxy" (fixed-seed fallback, reported as ``lpips_proxy``),
-      None (skip), or an LPIPS params dict (reported as ``lpips``).
+    lpips_params: "auto" (use converted official weights when present in
+      ``assets/pretrained`` — see docs/PRETRAINED.md — else the proxy),
+      "proxy" (fixed-seed fallback, reported as ``lpips_proxy``; values are
+      NOT comparable to reference LPIPS ranges), None (skip), or an LPIPS
+      params dict (reported as ``lpips``).
     """
     source_dir = Path(source_dir)
     outdir = Path(outdir)
@@ -66,6 +69,10 @@ def evaluate_folder(source_dir, outdir, lpips_params="proxy",
                 if p.name.endswith(gt_suffix)]
     pred_paths = [p.parent / p.name.replace(gt_suffix, pred_suffix)
                   for p in gt_paths]
+
+    if lpips_params == "auto":
+        from diner_tpu.utils.pretrained import lpips_params_or_proxy
+        lpips_params = lpips_params_or_proxy()
 
     lpips_key = None
     lp = None
@@ -94,8 +101,12 @@ def evaluate_folder(source_dir, outdir, lpips_params="proxy",
             scores[lpips_key].append(float(np.asarray(d)[0]))
 
     avg = {k: float(np.mean(v)) for k, v in scores.items()}
+    report = dict(avg)
+    if lpips_key == "lpips_proxy":
+        from diner_tpu.utils.pretrained import LPIPS_PROXY_NOTE
+        report["lpips_proxy_note"] = LPIPS_PROXY_NOTE
     with open(outdir / AVERAGE_SCORE_FILENAME, "w") as f:
-        json.dump(avg, f, indent="\t")
+        json.dump(report, f, indent="\t")
 
     detail = []
     for i, p in enumerate(pred_paths):

@@ -97,6 +97,15 @@ def create_state(cfg: DinerConfig, rng, example_batch,
         variables, alive = init_and_probe(jax.random.fold_in(rng, i))
         if float(alive) > 0.01:
             break
+    if cfg.nerf.encoder.backbone == "resnet34":
+        # drop-in ImageNet weights when converted (docs/PRETRAINED.md);
+        # reference loads torchvision pretrained=True
+        # (src/models/image_encoder.py:50-56)
+        from diner_tpu.utils.pretrained import (
+            graft_resnet34, load_resnet34_variables)
+        pre = load_resnet34_variables()
+        if pre is not None:
+            variables = graft_resnet34(dict(variables), pre)
     tx = optax.adam(cfg.lr)
     state = DinerState(
         params=variables["params"],

@@ -98,7 +98,13 @@ class Trainer:
 
     def _init_state(self, example_batch):
         dcfg = self.cfg.diner
-        vgg_params = init_vgg19_params() if dcfg.w_vgg > 0 else None
+        vgg_params = None
+        if dcfg.w_vgg > 0:
+            # converted torchvision VGG19 when dropped in (docs/PRETRAINED.md)
+            from diner_tpu.utils.pretrained import load_vgg19_loss_params
+            vgg_params = load_vgg19_loss_params()
+            if vgg_params is None:
+                vgg_params = init_vgg19_params()
         model, state = create_state(dcfg, jax.random.PRNGKey(0),
                                     example_batch, vgg_params)
         if self.cfg.ckpt_path:
