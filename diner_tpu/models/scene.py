@@ -14,7 +14,13 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from diner_tpu.ops.grid_sample import grid_sample_bilinear_imggrad
+from typing import Optional
+
+from diner_tpu.ops.grid_sample import (
+    build_pair_table,
+    grid_sample_bilinear_imggrad,
+    grid_sample_bilinear_pairs,
+)
 from diner_tpu.ops.sampling import ViewMaps
 
 
@@ -43,10 +49,28 @@ class SceneContext:
     c: jax.Array
     image_wh: jax.Array
     feature_padding: int = flax.struct.field(pytree_node=False, default=0)
+    # optional wide-row pair table (ops.grid_sample.build_pair_table) for
+    # the render-many-chunks-per-encode path; see with_latent_pairs()
+    latent_pairs: Optional[jax.Array] = None
 
     @property
     def num_views(self) -> int:
         return self.poses.shape[1]
+
+    def with_latent_pairs(self) -> "SceneContext":
+        """Attach the wide-row x-pair latent table (2x latent bytes).
+
+        Measured (GATHER_LAB2.json): the paired lookup runs the field
+        gather at ~13.8 ms vs 17.5 per 163,840 points, but building the
+        table costs ~12.4 ms — so this pays only where ONE encode feeds
+        MANY render chunks (full-image eval: ~80 chunks per 512x640
+        image). The training step (one render per encode) keeps the
+        plain 4-corner custom-VJP path.
+        """
+        if self.latent_pairs is not None or self.latent.shape[3] % 2:
+            return self
+        lat = self.latent.reshape((-1,) + self.latent.shape[2:])
+        return self.replace(latent_pairs=build_pair_table(lat))
 
     def view_maps(self) -> ViewMaps:
         return ViewMaps(
@@ -83,6 +107,12 @@ def index_latent(ctx: SceneContext, uv_ndc):
         dtype=uv_ndc.dtype,
     )
     uv = (uv_ndc * scale).reshape(SB * NV, P, 2)
+    if ctx.latent_pairs is not None:
+        # wide-row pair-table fast path (bit-identical forward; eval only)
+        out = grid_sample_bilinear_pairs(
+            ctx.latent_pairs,
+            (SB * NV,) + ctx.latent.shape[2:], uv, "border")
+        return out.reshape(SB, NV, P, -1)
     latent = ctx.latent.reshape((SB * NV,) + ctx.latent.shape[2:])
     # custom-VJP sampler: image grads only (uv comes from stop_gradient-ed
     # sample positions + camera constants on this path), f32 scatter accum

@@ -115,6 +115,13 @@ def render_rays_chunked(
     SB, NR, _ = rays.shape
     chunk = min(cfg.ray_chunk, NR)
     n_chunks = -(-NR // chunk)
+    # NOTE: the wide-row pair-table latent lookup (ctx.with_latent_pairs())
+    # wins in isolation (13.8 vs 17.5 ms per 163,840 points,
+    # GATHER_LAB2.json) but LOSES ~5% inside this full render graph
+    # (EVAL_RENDER_r04.json: 19.3 vs 18.4 s/image at the 512x640 eval
+    # workload) — the per-corner gathers fuse into the lerp chain while the
+    # paired fetch's (P, 2, C) slicing does not. Deliberately NOT attached
+    # here; the op stays available and tested for callers that want it.
     pad = n_chunks * chunk - NR
     rays_p = jnp.pad(rays, ((0, 0), (0, pad), (0, 0)), mode="edge")
     rays_c = rays_p.reshape(SB, n_chunks, chunk, 8).transpose(1, 0, 2, 3)

@@ -148,3 +148,44 @@ def test_bilinear_imggrad_custom_vjp(padding):
     np.testing.assert_allclose(np.asarray(g_img), g_ref, atol=1e-5,
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(g_uv), 0.0)
+
+
+def test_pair_table_bilinear_bit_identical():
+    """grid_sample_bilinear_pairs == grid_sample_bilinear_imggrad forward
+    bit-for-bit (same corners, same weight products and casts), in f32 and
+    bf16, including border-clip edge coordinates."""
+    import jax.numpy as jnp
+    from diner_tpu.ops.grid_sample import (
+        build_pair_table,
+        grid_sample_bilinear_imggrad,
+        grid_sample_bilinear_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        N, H, W, C = 3, 6, 8, 5
+        img = jnp.asarray(rng.randn(N, H, W, C), dtype)
+        uv = jnp.asarray(rng.uniform(-1.4, 1.4, (N, 37, 2)), jnp.float32)
+        # force exact-border and exact-integer coordinates into the set
+        uv = uv.at[:, 0].set(jnp.asarray([1.0, 1.0]))
+        uv = uv.at[:, 1].set(jnp.asarray([-1.0, -1.0]))
+        uv = uv.at[:, 2].set(jnp.asarray([(2 * 6.0 + 1) / W - 1, 0.25]))
+        ref = grid_sample_bilinear_imggrad(img, uv, "border")
+        out = grid_sample_bilinear_pairs(
+            build_pair_table(img), (N, H, W, C), uv, "border")
+        np.testing.assert_array_equal(
+            np.asarray(out).astype(np.float32),
+            np.asarray(ref).astype(np.float32))
+
+
+def test_pair_table_rejects_odd_width_and_zeros_mode():
+    import jax.numpy as jnp
+    import pytest
+    from diner_tpu.ops.grid_sample import (
+        build_pair_table, grid_sample_bilinear_pairs)
+    with pytest.raises(ValueError):
+        build_pair_table(jnp.zeros((1, 4, 5, 2)))
+    t = build_pair_table(jnp.zeros((1, 4, 6, 2)))
+    with pytest.raises(ValueError):
+        grid_sample_bilinear_pairs(t, (1, 4, 6, 2),
+                                   jnp.zeros((1, 3, 2)), "zeros")

@@ -78,6 +78,15 @@ def test_render_end_to_end():
     assert outc.rgb.shape == (SB, 64, 3)
     assert np.isfinite(np.asarray(outc.rgb)).all()
 
+    # the eval fast path (wide-row pair-table latent lookup, attached by
+    # render_rays_chunked when n_chunks > 1) must not change the render
+    outp = render_rays(field_fn, ctx.with_latent_pairs(), rays,
+                       jax.random.PRNGKey(1), rcfg)
+    np.testing.assert_allclose(np.asarray(outp.rgb), np.asarray(out.rgb),
+                               atol=1e-5, rtol=1e-5)
+    if ctx.latent.shape[3] % 2 == 0:
+        assert ctx.with_latent_pairs().latent_pairs is not None
+
 
 @pytest.mark.slow
 def test_depth_guided_sampling_concentrates_on_surface():
