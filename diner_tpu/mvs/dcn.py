@@ -12,11 +12,116 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax.nn.initializers import constant, zeros
 
 
+def _corner_meta(img_shape, x, y, scale):
+    """Shared fwd/bwd corner math: per-corner (flat idx, f32 weight)."""
+    N, H, W, C = img_shape
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    base = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]  # (N, 1)
+    corners = []
+    for ix, iy, w in ((x0i, y0i, (1 - wx1) * (1 - wy1)),
+                      (x0i + 1, y0i, wx1 * (1 - wy1)),
+                      (x0i, y0i + 1, (1 - wx1) * wy1),
+                      (x0i + 1, y0i + 1, wx1 * wy1)):
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        w = jnp.where(valid, w, 0.0)
+        if scale is not None:
+            w = w * scale.astype(jnp.float32)
+        idx = base + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        corners.append((idx, w, valid))
+    return corners, (wx1, wy1)
+
+
+@jax.custom_vjp
+def _bilinear_sample_pix(img, x, y, scale):
+    out, _ = _bsp_fwd(img, x, y, scale)
+    return out
+
+
 def bilinear_sample_pix(img, x, y, scale=None):
+    """Public wrapper (kwarg-friendly; custom_vjp args are positional)."""
+    return _bilinear_sample_pix(img, x, y, scale)
+
+
+def _bsp_fwd(img, x, y, scale):
+    N, H, W, C = img.shape
+    corners, _ = _corner_meta(img.shape, x, y, scale)
+    flat = img.reshape(N * H * W, C)
+    out = None
+    for idx, w, _ in corners:
+        term = flat[idx.reshape(-1)].reshape(idx.shape + (C,)) \
+            * w.astype(img.dtype)[..., None]
+        out = term if out is None else out + term
+    return out, (img, x, y, scale)
+
+
+def _bsp_bwd(res, g):
+    """Hand-written VJP (the full-res MVS training step's hot gradient).
+
+    Autodiff's backward scatters (N·P, C≤32) updates — TPU lane-pads them
+    ×(128/C) (the FeatureNet DCN heads at 512×640 made this ~70% of the
+    23.3 s step, MVS_ROOFLINE_r04.json). Here d_img accumulates
+    CHANNELS-MAJOR (C, N·H·W) in f32 (zero lane padding — same fix as
+    ``ops/grid_sample._gs_bilinear_bwd``), and the offset/mask cotangents
+    reuse one corner regather.
+    """
+    img, x, y, scale = res
+    N, H, W, C = img.shape
+    corners, (wx1, wy1) = _corner_meta(img.shape, x, y, scale)
+    flat = img.reshape(N * H * W, C)
+    g32 = g.astype(jnp.float32)
+
+    acc = jnp.zeros((C, N * H * W), jnp.float32)
+    gT = g32.reshape(-1, C).T  # (C, N·P)
+    dw = []  # per-corner d/d(weight_f32): Σ_c g·v  (N, P)
+    for idx, w, _ in corners:
+        fidx = idx.reshape(-1)
+        v = flat[fidx].reshape(idx.shape + (C,)).astype(jnp.float32)
+        dw.append(jnp.sum(g32 * v, axis=-1))
+        # d_img scatter: g · w_cast (match the forward's quantized weight)
+        wcast = w.astype(img.dtype).astype(jnp.float32)
+        acc = acc.at[:, fidx].add(gT * wcast.reshape(1, -1))
+    d_img = acc.reshape(C, N, H, W).transpose(1, 2, 3, 0).astype(img.dtype)
+
+    # weight-product derivatives (w_base = bilinear product, pre-mask):
+    # forward applied  w = where(valid, w_base, 0) [* scale]
+    sc = (scale.astype(jnp.float32) if scale is not None
+          else jnp.ones_like(wx1))
+    dwb = [jnp.where(c[2], d * sc, 0.0) for c, d in zip(corners, dw)]
+    d_wx1 = (-dwb[0] * (1 - wy1) + dwb[1] * (1 - wy1)
+             - dwb[2] * wy1 + dwb[3] * wy1)
+    d_wy1 = (-dwb[0] * (1 - wx1) - dwb[1] * wx1
+             + dwb[2] * (1 - wx1) + dwb[3] * wx1)
+    d_x = d_wx1.astype(x.dtype)
+    d_y = d_wy1.astype(y.dtype)
+
+    if scale is None:
+        d_scale = None
+    else:
+        wb = [jnp.where(c[2], wgt, 0.0) for c, wgt in
+              ((corners[0], (1 - wx1) * (1 - wy1)),
+               (corners[1], wx1 * (1 - wy1)),
+               (corners[2], (1 - wx1) * wy1),
+               (corners[3], wx1 * wy1))]
+        d_scale = sum(b * d for b, d in zip(wb, dw)).astype(scale.dtype)
+    return d_img, d_x, d_y, d_scale
+
+
+_bilinear_sample_pix.defvjp(_bsp_fwd, _bsp_bwd)
+
+
+def bilinear_sample_pix_ref(img, x, y, scale=None):
     """Bilinear sample at unnormalized pixel positions, zeros outside.
 
     img: (N, H, W, C); x, y: (N, P) — positions are taken in f32 (integer

@@ -407,3 +407,47 @@ def test_sweep_chunk_parity():
     for k in ("depth", "photometric_confidence", "prob_volume"):
         np.testing.assert_array_equal(np.asarray(out1[k]),
                                       np.asarray(out4[k]))
+
+
+def test_bilinear_sample_pix_custom_vjp_matches_autodiff():
+    """The hand-written DCN sampler VJP (channels-major scatter — the
+    full-res FeatureNet backward hot path) must match autodiff of the
+    reference implementation for ALL cotangents: img, x, y, scale."""
+    from diner_tpu.mvs.dcn import bilinear_sample_pix, bilinear_sample_pix_ref
+
+    rng = np.random.RandomState(0)
+    N, H, W, C, P = 2, 7, 9, 5, 33
+    img = jnp.asarray(rng.randn(N, H, W, C), jnp.float32)
+    # positions straddling borders, outside, and exact integers
+    x = jnp.asarray(rng.uniform(-2.0, W + 1.0, (N, P)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-2.0, H + 1.0, (N, P)), jnp.float32)
+    x = x.at[:, 0].set(3.0)
+    y = y.at[:, 0].set(2.0)
+    scale = jnp.asarray(rng.uniform(0.0, 1.0, (N, P)), jnp.float32)
+    g = jnp.asarray(rng.randn(N, P, C), jnp.float32)
+
+    def run(fn):
+        def f(img, x, y, scale):
+            return jnp.vdot(fn(img, x, y, scale), g)
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+            img, x, y, scale)
+        return val, grads
+
+    v_ref, g_ref = run(bilinear_sample_pix_ref)
+    v_new, g_new = run(bilinear_sample_pix)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    for a, b, name in zip(g_new, g_ref, ("img", "x", "y", "scale")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+    # forward parity too (flat take vs take_along_axis)
+    o_ref = bilinear_sample_pix_ref(img, x, y, scale)
+    o_new = bilinear_sample_pix(img, x, y, scale)
+    np.testing.assert_allclose(np.asarray(o_new), np.asarray(o_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # scale=None path
+    o2r = bilinear_sample_pix_ref(img, x, y)
+    o2n = bilinear_sample_pix(img, x, y)
+    np.testing.assert_allclose(np.asarray(o2n), np.asarray(o2r),
+                               rtol=1e-6, atol=1e-6)
