@@ -69,12 +69,16 @@ def _bsp_fwd(img, x, y, scale):
 def _bsp_bwd(res, g):
     """Hand-written VJP (the full-res MVS training step's hot gradient).
 
-    Autodiff's backward scatters (N·P, C≤32) updates — TPU lane-pads them
-    ×(128/C) (the FeatureNet DCN heads at 512×640 made this ~70% of the
-    23.3 s step, MVS_ROOFLINE_r04.json). Here d_img accumulates
-    CHANNELS-MAJOR (C, N·H·W) in f32 (zero lane padding — same fix as
-    ``ops/grid_sample._gs_bilinear_bwd``), and the offset/mask cotangents
-    reuse one corner regather.
+    MVS_ROOFLINE_r04 attributed ~70% of the 23.3 s full-res step to the
+    FeatureNet DCN backward; DCN_ABLATE_r04 pinned it on the d_img
+    scatter-adds, which run at ~7.8 M rows/s (vs 81 M rows/s for the
+    forward gathers — scatter IS the silicon bound here). The win is
+    halving the scatter rows: the two x-adjacent corners of each y-row
+    are fused into ONE 2C-wide row update into parity pair canvases
+    (2 scatters per sample point instead of 4), then stream-folded back.
+    Offset/mask cotangents reuse one corner regather (gathers are cheap).
+    A channels-major (C, N·HW) accumulation was tried first and measured
+    SLOWER (column scatters touch 4 sublane tiles per index).
     """
     img, x, y, scale = res
     N, H, W, C = img.shape
@@ -82,18 +86,67 @@ def _bsp_bwd(res, g):
     flat = img.reshape(N * H * W, C)
     g32 = g.astype(jnp.float32)
 
-    acc = jnp.zeros((C, N * H * W), jnp.float32)
-    gT = g32.reshape(-1, C).T  # (C, N·P)
     dw = []  # per-corner d/d(weight_f32): Σ_c g·v  (N, P)
     for idx, w, _ in corners:
-        fidx = idx.reshape(-1)
-        v = flat[fidx].reshape(idx.shape + (C,)).astype(jnp.float32)
+        v = flat[idx.reshape(-1)].reshape(idx.shape + (C,)) \
+            .astype(jnp.float32)
         dw.append(jnp.sum(g32 * v, axis=-1))
-        # d_img scatter: g · w_cast (match the forward's quantized weight)
-        wcast = w.astype(img.dtype).astype(jnp.float32)
-        acc = acc.at[:, fidx].add(gT * wcast.reshape(1, -1))
-    d_img = acc.reshape(C, N, H, W).transpose(1, 2, 3, 0).astype(img.dtype)
 
+    # ---- d_img: x-PAIRED corner scatters (DCN_ABLATE_r04: the scatter is
+    # the bound at ~7.8 M rows/s vs 81 M rows/s gathers; fusing the two
+    # x-adjacent corners of each y-row into ONE 2C-wide row update halves
+    # the scatter rows). Parity canvases over column starts:
+    #   even rows: x0 ∈ {0, 2, …, W-2}           (We = W/2 pair slots)
+    #   odd  rows: x0 ∈ {-1, 1, …, W-1}          (Wo = W/2+1, cols -1…W
+    #              with the two edge columns as discarded pads)
+    # Out-of-bounds corners carry weight 0 exactly (the forward's `valid`
+    # mask), so pad-column contributions are zeros — bit-equal to four
+    # per-corner clipped scatters.
+    if W % 2:
+        # odd-W fallback (not an MVS shape): plain per-corner row scatters
+        acc = jnp.zeros((N * H * W, C), jnp.float32)
+        for (idx, w, _), _d in zip(corners, dw):
+            upd = g32 * w.astype(img.dtype).astype(jnp.float32)[..., None]
+            acc = acc.at[idx.reshape(-1)].add(upd.reshape(-1, C))
+        d_img = acc.reshape(N, H, W, C).astype(img.dtype)
+        return (d_img,) + _bsp_bwd_rest(res, corners, dw, wx1, wy1)
+
+    We, Wo = W // 2, W // 2 + 1
+    n_even = N * H * We
+    nbase = (jnp.arange(N, dtype=jnp.int32) * H)[:, None]
+
+    x32 = x.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    x0i = jnp.floor(x32).astype(jnp.int32)
+    y0i = jnp.floor(y32).astype(jnp.int32)
+    x0c = jnp.clip(x0i, -1, W - 1)
+    parity_odd = (x0c % 2) != 0
+
+    def pair_row(yy):
+        base = nbase + jnp.clip(yy, 0, H - 1)
+        idx_e = base * We + x0c // 2
+        idx_o = n_even + base * Wo + (x0c + 1) // 2
+        return jnp.where(parity_odd, idx_o, idx_e).reshape(-1)
+
+    def wcast32(w):
+        return w.astype(img.dtype).astype(jnp.float32)[..., None]
+
+    acc = jnp.zeros((N * H * (We + Wo), 2 * C), jnp.float32)
+    for yy, wl, wr in ((y0i, corners[0][1], corners[1][1]),
+                       (y0i + 1, corners[2][1], corners[3][1])):
+        upd = jnp.concatenate(
+            [g32 * wcast32(wl), g32 * wcast32(wr)], axis=-1)
+        acc = acc.at[pair_row(yy)].add(upd.reshape(-1, 2 * C))
+
+    even = acc[:n_even].reshape(N, H, We, 2, C).reshape(N, H, W, C)
+    odd = acc[n_even:].reshape(N, H, Wo, 2, C).reshape(N, H, 2 * Wo, C)
+    d_img = (even + odd[:, :, 1:W + 1]).astype(img.dtype)
+    return (d_img,) + _bsp_bwd_rest(res, corners, dw, wx1, wy1)
+
+
+def _bsp_bwd_rest(res, corners, dw, wx1, wy1):
+    """Offset/mask cotangents shared by both d_img scatter layouts."""
+    img, x, y, scale = res
     # weight-product derivatives (w_base = bilinear product, pre-mask):
     # forward applied  w = where(valid, w_base, 0) [* scale]
     sc = (scale.astype(jnp.float32) if scale is not None
@@ -115,7 +168,7 @@ def _bsp_bwd(res, g):
                (corners[2], (1 - wx1) * wy1),
                (corners[3], wx1 * wy1))]
         d_scale = sum(b * d for b, d in zip(wb, dw)).astype(scale.dtype)
-    return d_img, d_x, d_y, d_scale
+    return d_x, d_y, d_scale
 
 
 _bilinear_sample_pix.defvjp(_bsp_fwd, _bsp_bwd)

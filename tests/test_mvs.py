@@ -409,14 +409,16 @@ def test_sweep_chunk_parity():
                                       np.asarray(out4[k]))
 
 
-def test_bilinear_sample_pix_custom_vjp_matches_autodiff():
-    """The hand-written DCN sampler VJP (channels-major scatter — the
-    full-res FeatureNet backward hot path) must match autodiff of the
-    reference implementation for ALL cotangents: img, x, y, scale."""
+@pytest.mark.parametrize("W", [9, 8])
+def test_bilinear_sample_pix_custom_vjp_matches_autodiff(W):
+    """The hand-written DCN sampler VJP (x-paired corner scatter for even
+    W — the full-res FeatureNet backward hot path — and the per-corner
+    fallback for odd W) must match autodiff of the reference
+    implementation for ALL cotangents: img, x, y, scale."""
     from diner_tpu.mvs.dcn import bilinear_sample_pix, bilinear_sample_pix_ref
 
     rng = np.random.RandomState(0)
-    N, H, W, C, P = 2, 7, 9, 5, 33
+    N, H, C, P = 2, 7, 5, 33
     img = jnp.asarray(rng.randn(N, H, W, C), jnp.float32)
     # positions straddling borders, outside, and exact integers
     x = jnp.asarray(rng.uniform(-2.0, W + 1.0, (N, P)), jnp.float32)
