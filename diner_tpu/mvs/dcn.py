@@ -49,9 +49,21 @@ def _bilinear_sample_pix(img, x, y, scale):
     return out
 
 
+# Dispatch flag for the hand-written VJP. OFF by default: inside the FULL
+# remat'd training graph the custom backward's regathers/scatter canvases
+# defeat XLA's gather→consumer fusions and ~20 rematted 80 MB gather temps
+# stay resident concurrently — the 512×640 training step OOMs (the
+# autodiff graph fits at 14.12 GB peak). The kernel remains measurable in
+# isolation via scripts/dcn_bwd_probe.py (which flips this flag); see
+# BENCH.md round 4.
+DCN_CUSTOM_VJP = False
+
+
 def bilinear_sample_pix(img, x, y, scale=None):
     """Public wrapper (kwarg-friendly; custom_vjp args are positional)."""
-    return _bilinear_sample_pix(img, x, y, scale)
+    if DCN_CUSTOM_VJP:
+        return _bilinear_sample_pix(img, x, y, scale)
+    return bilinear_sample_pix_ref(img, x, y, scale)
 
 
 def _bsp_fwd(img, x, y, scale):

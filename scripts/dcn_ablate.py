@@ -64,9 +64,8 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
 
     def with_sampler(use_ref):
-        real = dcn_mod.bilinear_sample_pix
-        if use_ref:
-            dcn_mod.bilinear_sample_pix = dcn_mod.bilinear_sample_pix_ref
+        real = dcn_mod.DCN_CUSTOM_VJP
+        dcn_mod.DCN_CUSTOM_VJP = not use_ref
         return real
 
     for use_ref, tag in ((False, "customVJP"), (True, "autodiff")):
@@ -98,7 +97,7 @@ def main():
             record(f"one DCN fwd+bwd d_params (incl offset conv) [{tag}]",
                    _time(fwdbwd_p, variables, x))
         finally:
-            dcn_mod.bilinear_sample_pix = real
+            dcn_mod.DCN_CUSTOM_VJP = real
 
     # raw roofs at the same volume: 36 gathers x (N*HW) idx, C=32
     table = jnp.asarray(rng.standard_normal((N * H * W, C)), DT)

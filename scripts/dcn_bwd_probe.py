@@ -51,6 +51,8 @@ def _leaf0(tree):
 
 def main():
     print(f"backend={jax.default_backend()}", flush=True)
+    import diner_tpu.mvs.dcn as dcn_mod
+    dcn_mod.DCN_CUSTOM_VJP = True  # probe the hand-written VJP
     from diner_tpu.mvs.model import FeatureNet
 
     rng = np.random.default_rng(0)

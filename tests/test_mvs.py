@@ -415,7 +415,11 @@ def test_bilinear_sample_pix_custom_vjp_matches_autodiff(W):
     W — the full-res FeatureNet backward hot path — and the per-corner
     fallback for odd W) must match autodiff of the reference
     implementation for ALL cotangents: img, x, y, scale."""
-    from diner_tpu.mvs.dcn import bilinear_sample_pix, bilinear_sample_pix_ref
+    import diner_tpu.mvs.dcn as dcn_mod
+    from diner_tpu.mvs.dcn import _bilinear_sample_pix, bilinear_sample_pix_ref
+
+    def bilinear_sample_pix(img, x, y, scale=None):
+        return _bilinear_sample_pix(img, x, y, scale)
 
     rng = np.random.RandomState(0)
     N, H, C, P = 2, 7, 5, 33
