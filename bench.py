@@ -105,6 +105,96 @@ def _bench_recipe(production: bool):
     return cfg.rays_per_step / dt, dt
 
 
+def _gather_roof_fractions():
+    """Measure the two gather-bound production stages against their bare
+    flat-take roofs AT BENCH TIME (VERDICT r3 item 6: the certified bound
+    must be re-checked every round, not quoted)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diner_tpu.ops.grid_sample import grid_sample_bilinear
+    from diner_tpu.ops.sampling import ViewMaps, sample_view_maps_fused
+
+    rng = np.random.default_rng(0)
+
+    def measure(fn, *consts, reps=8, iters=2):
+        def chain(c, *k):
+            def body(c, _):
+                ci = jax.lax.convert_element_type(
+                    jnp.mod(jnp.nan_to_num(c), 128.0), jnp.int32)
+                return fn(ci, *k), ()
+            c, _ = jax.lax.scan(body, c, None, length=reps)
+            return c
+
+        compiled = jax.jit(chain).lower(jnp.zeros(()), *consts).compile()
+        c = compiled(jnp.zeros(()), *consts)
+        float(jnp.asarray(c, jnp.float32))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            c = compiled(c, *consts)
+            float(jnp.asarray(c, jnp.float32))
+            times.append(time.perf_counter() - t0)
+        return min(times) * 1e3 / reps
+
+    # sampler: production fused 5-ch map gather vs the bare flat take
+    N_TABLE, N_IDX = 4 * 512 * 640, 4 * 1024 * 1000
+    table = jnp.asarray(rng.standard_normal((N_TABLE, 5)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N_TABLE, N_IDX), jnp.int32)
+
+    def take(c, t, i):
+        g = t[(i + c) % N_TABLE]
+        return jnp.sum(g[::1024].astype(jnp.float32))
+    roof_ms = measure(take, table, idx)
+
+    SB, NV, H, W = 1, 4, 512, 640
+    views = ViewMaps(
+        depths=jnp.asarray(rng.uniform(0.5, 2.0, (SB, NV, H, W, 1)),
+                           jnp.float32),
+        depth_stds=jnp.asarray(rng.uniform(0.01, 0.1, (SB, NV, H, W, 1)),
+                               jnp.float32),
+        normals=jnp.asarray(rng.standard_normal((SB, NV, H, W, 3)),
+                            jnp.float32),
+        poses=jnp.zeros((SB, NV, 4, 4)), focal=jnp.ones((SB, NV, 2)),
+        c=jnp.ones((SB, NV, 2)), image_wh=jnp.asarray([W, H], jnp.float32))
+    uv2 = jnp.asarray(rng.uniform(-1.1, 1.1, (SB, NV, 1024 * 1000, 2)),
+                      jnp.float32)
+
+    def maps_stage(c, v, u):
+        d, s, n = sample_view_maps_fused(v, u + c.astype(jnp.float32) * 1e-7)
+        return (jnp.sum(d[..., ::997, :].astype(jnp.float32))
+                + jnp.sum(n[..., ::997, :].astype(jnp.float32)))
+    maps_ms = measure(maps_stage, views, uv2)
+
+    # field: production bilinear latent lookup vs 4 bare C=512 takes
+    NVf, Hf, Wf, Cf = 4, 320, 384, 512
+    latent = jnp.asarray(rng.standard_normal((NVf, Hf, Wf, Cf)),
+                         jnp.bfloat16)
+    P = 163_840 // NVf
+    uv = jnp.asarray(rng.uniform(-1, 1, (NVf, P, 2)), jnp.float32)
+    t512 = latent.reshape(-1, Cf)
+    idx5 = jnp.asarray(rng.integers(0, NVf * Hf * Wf, NVf * P), jnp.int32)
+
+    def take512(c, t, i):
+        g = t[(i + c) % (NVf * Hf * Wf)]
+        return jnp.sum(g[::1024].astype(jnp.float32))
+    take512_ms = measure(take512, t512, idx5)
+
+    def bil(c, lat, u):
+        g = grid_sample_bilinear(lat, u + c.astype(jnp.float32) * 1e-7,
+                                 "border")
+        return jnp.sum(g[:, ::701].astype(jnp.float32))
+    bil_ms = measure(bil, latent, uv)
+
+    return {
+        "sampler_maps": round(100 * roof_ms / maps_ms, 1),
+        "field_bilinear": round(100 * 4 * take512_ms / bil_ms, 1),
+        "note": "production gather stage as % of its bare flat-take roof "
+                "(re-measured this run; see GATHER_ROOF/GATHER_LAB "
+                "artifacts for the full certification)",
+    }
+
+
 def main():
     # timing-honesty guard: on the relay a trivial synced program must sit
     # at/above the RPC floor; a ~0 reading means the sync is a no-op and
@@ -115,6 +205,10 @@ def main():
 
     prod_rays, prod_dt = _bench_recipe(production=True)
     mse_rays, mse_dt = _bench_recipe(production=False)
+    try:
+        roof = _gather_roof_fractions()
+    except Exception as e:  # the headline must survive a roof-probe failure
+        roof = {"error": str(e)[:200]}
     print(json.dumps({
         "metric": "diner_production_train_rays_per_sec_fwdbwd_512x640_4views",
         "value": round(prod_rays, 1),
@@ -127,6 +221,7 @@ def main():
             "vs_baseline": round(mse_rays / BASELINE_MSE_RAYS_PER_SEC, 3),
             "production_step_ms": round(prod_dt * 1e3, 2),
             "mse_step_ms": round(mse_dt * 1e3, 2),
+            "pct_gather_roof": roof,
         },
     }))
 
