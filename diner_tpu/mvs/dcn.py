@@ -94,15 +94,10 @@ def _bsp_bwd(res, g):
     """
     img, x, y, scale = res
     N, H, W, C = img.shape
+    P = x.shape[1]
     corners, (wx1, wy1) = _corner_meta(img.shape, x, y, scale)
     flat = img.reshape(N * H * W, C)
     g32 = g.astype(jnp.float32)
-
-    dw = []  # per-corner d/d(weight_f32): Σ_c g·v  (N, P)
-    for idx, w, _ in corners:
-        v = flat[idx.reshape(-1)].reshape(idx.shape + (C,)) \
-            .astype(jnp.float32)
-        dw.append(jnp.sum(g32 * v, axis=-1))
 
     # ---- d_img: x-PAIRED corner scatters (DCN_ABLATE_r04: the scatter is
     # the bound at ~7.8 M rows/s vs 81 M rows/s gathers; fusing the two
@@ -116,21 +111,24 @@ def _bsp_bwd(res, g):
     # per-corner clipped scatters.
     if W % 2:
         # odd-W fallback (not an MVS shape): plain per-corner row scatters
+        dw = []
         acc = jnp.zeros((N * H * W, C), jnp.float32)
-        for (idx, w, _), _d in zip(corners, dw):
+        for idx, w, _ in corners:
+            fi = idx.reshape(-1)
+            v = flat[fi].reshape(idx.shape + (C,)).astype(jnp.float32)
+            dw.append(jnp.sum(g32 * v, axis=-1))
             upd = g32 * w.astype(img.dtype).astype(jnp.float32)[..., None]
-            acc = acc.at[idx.reshape(-1)].add(upd.reshape(-1, C))
+            acc = acc.at[fi].add(upd.reshape(-1, C))
         d_img = acc.reshape(N, H, W, C).astype(img.dtype)
         return (d_img,) + _bsp_bwd_rest(res, corners, dw, wx1, wy1)
 
     We, Wo = W // 2, W // 2 + 1
     n_even = N * H * We
+    rows = N * H * (We + Wo)
     nbase = (jnp.arange(N, dtype=jnp.int32) * H)[:, None]
 
-    x32 = x.astype(jnp.float32)
-    y32 = y.astype(jnp.float32)
-    x0i = jnp.floor(x32).astype(jnp.int32)
-    y0i = jnp.floor(y32).astype(jnp.int32)
+    x0i = jnp.floor(x.astype(jnp.float32)).astype(jnp.int32)
+    y0i = jnp.floor(y.astype(jnp.float32)).astype(jnp.int32)
     x0c = jnp.clip(x0i, -1, W - 1)
     parity_odd = (x0c % 2) != 0
 
@@ -140,15 +138,45 @@ def _bsp_bwd(res, g):
         idx_o = n_even + base * Wo + (x0c + 1) // 2
         return jnp.where(parity_odd, idx_o, idx_e).reshape(-1)
 
-    def wcast32(w):
-        return w.astype(img.dtype).astype(jnp.float32)[..., None]
+    # CHUNKED scan over the point axis: one shared (rows, 2C) f32 canvas
+    # carried in place; per-chunk temps are a few MB, so the backward
+    # composes with the full remat'd training graph (an unchunked version
+    # OOM'd it: every tap's regathers/updates were resident at once).
+    NP = N * P
+    chunk = min(131072, NP)
+    pad = (-NP) % chunk
+    nch = (NP + pad) // chunk
 
-    acc = jnp.zeros((N * H * (We + Wo), 2 * C), jnp.float32)
-    for yy, wl, wr in ((y0i, corners[0][1], corners[1][1]),
-                       (y0i + 1, corners[2][1], corners[3][1])):
-        upd = jnp.concatenate(
-            [g32 * wcast32(wl), g32 * wcast32(wr)], axis=-1)
-        acc = acc.at[pair_row(yy)].add(upd.reshape(-1, 2 * C))
+    def padded(a, fill=0):
+        a = a.reshape(NP, *a.shape[1:] if a.ndim > 1 else [])
+        if pad:
+            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, width, constant_values=fill)
+        return a.reshape(nch, chunk, *a.shape[1:])
+
+    fidx_c = padded(jnp.stack([c[0].reshape(-1) for c in corners], -1))
+    wq_c = padded(jnp.stack(
+        [c[1].astype(img.dtype).astype(jnp.float32).reshape(-1)
+         for c in corners], -1))  # quantized weights, f32 (match fwd)
+    pr_c = padded(jnp.stack([pair_row(y0i), pair_row(y0i + 1)], -1))
+    g_c = padded(g32.reshape(NP, C))
+
+    def body(acc, inp):
+        fi, wq, pr, gc = inp  # (chunk,4) (chunk,4) (chunk,2) (chunk,C)
+        dwc = []
+        for k in range(4):
+            v = flat[fi[:, k]].astype(jnp.float32)
+            dwc.append(jnp.sum(gc * v, axis=-1))
+        for j, (l, r) in enumerate(((0, 1), (2, 3))):
+            upd = jnp.concatenate(
+                [gc * wq[:, l:l + 1], gc * wq[:, r:r + 1]], axis=-1)
+            acc = acc.at[pr[:, j]].add(upd)
+        return acc, jnp.stack(dwc, -1)  # ys (chunk, 4)
+
+    acc0 = jnp.zeros((rows, 2 * C), jnp.float32)
+    acc, dws = jax.lax.scan(body, acc0, (fidx_c, wq_c, pr_c, g_c))
+    dws = dws.reshape(nch * chunk, 4)[:NP]
+    dw = [dws[:, k].reshape(N, P) for k in range(4)]
 
     even = acc[:n_even].reshape(N, H, We, 2, C).reshape(N, H, W, C)
     odd = acc[n_even:].reshape(N, H, Wo, 2, C).reshape(N, H, 2 * Wo, C)
