@@ -20,7 +20,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-from diner_tpu.utils.platform import enable_compilation_cache
+from diner_tpu.utils.platform import (
+    enable_compilation_cache,
+    respect_env_platform,
+)
+respect_env_platform()  # the relay plugin ignores the env var otherwise
 enable_compilation_cache()
 
 import jax
