@@ -194,9 +194,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             results["models"][m] = {"error": str(e)[:400]}
         print(json.dumps({m: results["models"][m]}), flush=True)
+        # incremental write: a cut-off run still leaves partial results
+        (REPO / "VARIANT_WARM_r04.json").write_text(
+            json.dumps(results, indent=2))
 
-    (REPO / "VARIANT_WARM_r04.json").write_text(
-        json.dumps(results, indent=2))
     print("wrote VARIANT_WARM_r04.json", flush=True)
 
 
