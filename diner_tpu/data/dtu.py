@@ -55,7 +55,7 @@ class DTUDataset:
 
     def __init__(self, root, stage: str, scale_factor: float = DTU_SCALE_FACTOR,
                  downsample: float = 0.5, depth_fname: str = "TransMVSNet",
-                 split_dir=None):
+                 split_dir=None, exclude_cams=None, only_cams=None):
         self.data_dir = Path(root)
         assert self.data_dir.exists(), root
         self.stage = stage
@@ -72,12 +72,23 @@ class DTUDataset:
         self.zfar = 1500 * scale_factor
         self.src_camids = list(SRC_CAM_IDCS)
         self.nlights = N_LIGHTS
+        # Target-camera holdout for single-scan protocols: the reference
+        # separates train/val by SCAN (dtu.py:130-140); when only one scan is
+        # available, `exclude_cams` (train) / `only_cams` (val) split by
+        # target camera instead so eval targets are never supervision
+        # targets. Source views (SRC_CAM_IDCS) stay inputs either way.
+        if exclude_cams and only_cams:
+            raise ValueError("exclude_cams and only_cams are mutually "
+                             "exclusive")
+        excl = set(exclude_cams or ())
+        only = set(only_cams) if only_cams else None
         self.metas = [
             dict(scan_idx=s, cam_idx=c, ref_cam_idcs=self.src_camids,
                  light_idx=l)
             for s, c, l in product(range(len(self.scan_list)),
                                    range(len(self.cam_dict["ids"])),
                                    range(self.nlights))
+            if c not in excl and (only is None or c in only)
         ]
 
     def _load_cameras(self) -> Dict:

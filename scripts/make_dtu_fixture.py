@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Fabricate a geometrically consistent DTU-protocol scan for hardware runs.
+"""Fabricate geometrically consistent DTU-protocol scans for hardware runs.
 
-Renders a procedurally textured, gently curved surface from the quad-grid
+Renders procedurally textured, gently curved surfaces from the quad-grid
 view ids that ``MVSDTUDataset`` consumes (reference
 ``deps/TransMVSNet/datasets/dtu_yao.py``): 1200x1600 ``Rectified`` images,
 1200x1600 pfm GT depths + ``depth_visual`` masks, and ``Cameras/train``
@@ -10,10 +10,18 @@ the upstream ``prepare_img`` crop chain (x1/2 nearest, center-crop 512x640).
 
 This exists so the full-resolution TransMVSNet graph can be trained /
 write_prediction'd on real TPU hardware without the (licensed) DTU data.
-Depths are metric-plausible (surface around z=600mm, DTU's 425..~900 sweep).
+Depths are metric-plausible (surfaces around z=600mm, DTU's 425..~900 sweep).
+
+Multi-scan mode (``--scans N``) gives each scan a distinct deterministic
+geometry + texture so the reference's scan-split protocol (train scans vs
+unseen val scans, ``src/data/dtu.py:130-140``) is exercisable on synthetic
+data. ``--light-gains`` materializes the 7 DTU light conditions as real
+brightness variants (the reference's metas span scans x 49 cams x 7 lights,
+``src/data/dtu.py:53-62``); without it, lights are symlinks to one render.
 
 Usage:
-    python scripts/make_dtu_fixture.py <outdir> [--lights 1] [--hw 1200,1600]
+    python scripts/make_dtu_fixture.py <outdir> [--scans 6] [--lights 7]
+        [--light-gains] [--jobs 8]
 """
 
 import argparse
@@ -26,27 +34,53 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from diner_tpu.data.io import write_pfm  # noqa: E402
 
+# brightness multipliers for the 7 DTU light conditions when --light-gains
+# is on (DTU's r5000 renders vary illumination strongly; exact photometry
+# is irrelevant, cross-light variation is what the protocol needs)
+LIGHT_GAINS = (0.55, 0.70, 0.85, 1.00, 1.15, 1.30, 1.45)
 
-def _texture(x, y):
+
+def scan_params(k: int) -> dict:
+    """Deterministic per-scan geometry/texture perturbation. k=0 reproduces
+    the original single-scan fixture exactly."""
+    if k == 0:
+        return dict(tp=(0.0, 0.0, 0.0), tf=1.0, z0=600.0,
+                    amp=(60.0, 25.0), gf=1.0, gp=(0.0, 0.0))
+    rng = np.random.RandomState(1234 + k)
+    return dict(
+        tp=tuple(rng.uniform(0, 2 * np.pi, 3)),       # texture phases
+        tf=float(rng.uniform(0.7, 1.5)),              # texture freq scale
+        z0=float(rng.uniform(540.0, 680.0)),          # surface base depth
+        amp=(float(rng.uniform(35.0, 75.0)),          # bump amplitudes
+             float(rng.uniform(12.0, 35.0))),
+        gf=float(rng.uniform(0.7, 1.4)),              # geometry freq scale
+        gp=tuple(rng.uniform(0, 2 * np.pi, 2)),       # geometry phases
+    )
+
+
+def _texture(x, y, p):
     """Procedural RGB texture over world (x, y) mm — high-frequency enough
     for photometric matching to be meaningful."""
-    r = 0.5 + 0.25 * np.sin(x * 0.11) * np.cos(y * 0.13) \
-        + 0.25 * np.sin(0.031 * (x + 2 * y))
-    g = 0.5 + 0.25 * np.cos(x * 0.07 + 1.0) * np.sin(y * 0.17) \
-        + 0.25 * np.cos(0.023 * (2 * x - y))
-    b = 0.5 + 0.5 * np.sin(0.05 * x + 0.09 * y + 2.0)
+    f, (p0, p1, p2) = p["tf"], p["tp"]
+    r = 0.5 + 0.25 * np.sin(x * 0.11 * f + p0) * np.cos(y * 0.13 * f) \
+        + 0.25 * np.sin(0.031 * f * (x + 2 * y) + p1)
+    g = 0.5 + 0.25 * np.cos(x * 0.07 * f + 1.0 + p2) * np.sin(y * 0.17 * f) \
+        + 0.25 * np.cos(0.023 * f * (2 * x - y) + p0)
+    b = 0.5 + 0.5 * np.sin(0.05 * f * x + 0.09 * f * y + 2.0 + p1)
     return np.clip(np.stack([r, g, b], -1), 0.0, 1.0)
 
 
-def _surface_z(x, y):
+def _surface_z(x, y, p):
     """Curved surface z(x, y) in mm."""
-    return 600.0 + 60.0 * np.sin(x * 0.012) * np.cos(y * 0.015) \
-        + 25.0 * np.sin(0.03 * (x - y))
+    f, (q0, q1) = p["gf"], p["gp"]
+    return p["z0"] + p["amp"][0] * np.sin(x * 0.012 * f + q0) \
+        * np.cos(y * 0.015 * f) \
+        + p["amp"][1] * np.sin(0.03 * f * (x - y) + q1)
 
 
-def render_view(K_hr, E, H, W):
+def render_view(K_hr, E, H, W, p):
     """Ray-march (4 fixed-point iters; gentle slopes) the surface from a
-    camera with world-to-cam extrinsic E; returns (rgb u8, depth f32).
+    camera with world-to-cam extrinsic E; returns (rgb float 0..1, depth f32).
 
     The iteration converges to *cam-space* depth only because every
     generated extrinsic is a pure translation (R = I, see main()): then
@@ -60,32 +94,72 @@ def render_view(K_hr, E, H, W):
                       (v - K_hr[1, 2]) / K_hr[1, 1],
                       np.ones_like(u)], -1)
     d_world = d_cam @ R  # == R.T @ d_cam per-pixel
-    z = np.full((H, W), 600.0)
+    z = np.full((H, W), p["z0"])
     for _ in range(4):
         # cam-space depth z == t_ray * d_cam_z (d_cam_z = 1 by construction)
-        p = cam_origin + d_world * z[..., None]
-        z = z + 0.8 * (_surface_z(p[..., 0], p[..., 1])
-                       - p[..., 2])  # move along ray toward the surface
-    p = cam_origin + d_world * z[..., None]
-    rgb = (_texture(p[..., 0], p[..., 1]) * 255).astype(np.uint8)
+        pt = cam_origin + d_world * z[..., None]
+        z = z + 0.8 * (_surface_z(pt[..., 0], pt[..., 1], p)
+                       - pt[..., 2])  # move along ray toward the surface
+    pt = cam_origin + d_world * z[..., None]
+    rgb = _texture(pt[..., 0], pt[..., 1], p)
     return rgb, z.astype(np.float32)
+
+
+def make_camera(i):
+    E = np.eye(4)
+    E[0, 3] = 12.0 * (i % 7 - 3)
+    E[1, 3] = 9.0 * (i // 7 - 3)
+    return E
+
+
+def write_scan(root: Path, scan: str, scan_idx: int, lights: int,
+               light_gains: bool, H: int, W: int, K_hr) -> None:
+    (root / "Rectified" / f"{scan}_train").mkdir(parents=True, exist_ok=True)
+    (root / "Depths" / scan).mkdir(parents=True, exist_ok=True)
+    from PIL import Image
+
+    p = scan_params(scan_idx)
+    for i in range(49):
+        E = make_camera(i)
+        rgb, depth = render_view(K_hr, E, H, W, p)
+        img0 = root / "Rectified" / f"{scan}_train" / \
+            f"rect_{i + 1:03d}_0_r5000.png"
+        if light_gains:
+            for light in range(lights):
+                out = (np.clip(rgb * LIGHT_GAINS[light], 0, 1)
+                       * 255).astype(np.uint8)
+                Image.fromarray(out).save(
+                    img0.with_name(f"rect_{i + 1:03d}_{light}_r5000.png"))
+        else:
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(img0)
+            for light in range(1, lights):
+                dst = img0.with_name(f"rect_{i + 1:03d}_{light}_r5000.png")
+                if not dst.exists():
+                    dst.symlink_to(img0.name)
+        write_pfm(root / "Depths" / scan / f"depth_map_{i:04d}.pfm", depth)
+        Image.fromarray(np.full((H, W), 255, np.uint8)).save(
+            root / "Depths" / scan / f"depth_visual_{i:04d}.png")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
     ap.add_argument("--lights", type=int, default=7,
-                    help="how many of the 7 light conditions to materialize "
-                         "(same image content; symlinked)")
-    ap.add_argument("--scan", default="scan1")
+                    help="how many of the 7 light conditions to materialize")
+    ap.add_argument("--light-gains", action="store_true",
+                    help="materialize lights as real brightness variants "
+                         "instead of symlinks to one render")
+    ap.add_argument("--scan", default="scan1",
+                    help="scan name when --scans is 1")
+    ap.add_argument("--scans", type=int, default=1,
+                    help="generate scan1..scanN, each with distinct "
+                         "deterministic geometry + texture")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="parallel scan-rendering processes")
     args = ap.parse_args()
-    from PIL import Image
 
     root = Path(args.outdir)
     (root / "Cameras/train").mkdir(parents=True, exist_ok=True)
-    (root / "Rectified" / f"{args.scan}_train").mkdir(parents=True,
-                                                      exist_ok=True)
-    (root / "Depths" / args.scan).mkdir(parents=True, exist_ok=True)
 
     H, W = 1200, 1600
     # stage1-scale intrinsics (128x160) as stored in DTU cam files
@@ -97,12 +171,8 @@ def main():
     K_hr[0, 2] += 160.0  # undo prepare_img crop (cols 80 @ half-res)
     K_hr[1, 2] += 88.0   # rows 44 @ half-res
 
-    # render ALL 49 views (train mode's quad grid touches most ids);
-    # cameras on a 7x7 baseline grid looking +z
     for i in range(49):
-        E = np.eye(4)
-        E[0, 3] = 12.0 * (i % 7 - 3)
-        E[1, 3] = 9.0 * (i // 7 - 3)
+        E = make_camera(i)
         lines = ["extrinsic"]
         lines += [" ".join(f"{x:.6f}" for x in row) for row in E]
         lines += ["", "intrinsic"]
@@ -110,20 +180,21 @@ def main():
         lines += ["", "425.0 2.5"]
         (root / "Cameras/train" / f"{i:08d}_cam.txt").write_text(
             "\n".join(lines) + "\n")
-        rgb, depth = render_view(K_hr, E, H, W)
-        img0 = root / "Rectified" / f"{args.scan}_train" / \
-            f"rect_{i + 1:03d}_0_r5000.png"
-        Image.fromarray(rgb).save(img0)
-        for light in range(1, args.lights):
-            dst = img0.with_name(f"rect_{i + 1:03d}_{light}_r5000.png")
-            if not dst.exists():
-                dst.symlink_to(img0.name)
-        write_pfm(root / "Depths" / args.scan / f"depth_map_{i:04d}.pfm",
-                  depth)
-        Image.fromarray(np.full((H, W), 255, np.uint8)).save(
-            root / "Depths" / args.scan / f"depth_visual_{i:04d}.png")
+
+    scans = ([args.scan] if args.scans == 1
+             else [f"scan{k + 1}" for k in range(args.scans)])
+    jobs = [(root, s, k, args.lights, args.light_gains, H, W, K_hr)
+            for k, s in enumerate(scans)]
+    if args.jobs > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(min(args.jobs, len(jobs))) as pool:
+            pool.starmap(write_scan, jobs)
+    else:
+        for j in jobs:
+            write_scan(*j)
+
     listfile = root / "list.txt"
-    listfile.write_text(f"{args.scan}\n")
+    listfile.write_text("\n".join(scans) + "\n")
     print(f"fixture at {root} (list: {listfile})")
 
 

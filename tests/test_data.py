@@ -124,6 +124,34 @@ def test_dtu_dataset(tmp_path):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
 
 
+def test_dtu_camera_holdout(tmp_path):
+    """exclude_cams / only_cams split target cameras disjointly (single-scan
+    novel-view protocol; the reference splits by scan, dtu.py:130-140)."""
+    from diner_tpu.data.dtu import DTUDataset
+
+    root = tmp_path / "DTU"
+    root.mkdir()
+    _write_dtu_fixture(root)
+    split_dir = tmp_path / "splits"
+    split_dir.mkdir()
+    for st in ("train", "val"):
+        (split_dir / f"dtu_{st}_all.txt").write_text("scan1\n")
+
+    held = [0, 5, 12]
+    tr = DTUDataset(root, "train", split_dir=split_dir, exclude_cams=held)
+    va = DTUDataset(root, "val", split_dir=split_dir, only_cams=held)
+    assert len(tr) == (36 - 3) * 7 and len(va) == 3 * 7
+    assert not ({m["cam_idx"] for m in tr.metas}
+                & {m["cam_idx"] for m in va.metas})
+    assert {m["cam_idx"] for m in va.metas} == set(held)
+    # sources stay available as inputs regardless of the target holdout
+    s = va[0]
+    assert list(s["src_view_ids"]) == [30, 10, 6, 35]
+    with pytest.raises(ValueError):
+        DTUDataset(root, "val", split_dir=split_dir, exclude_cams=[1],
+                   only_cams=[2])
+
+
 def test_dtu_conf2std_affine():
     from diner_tpu.data.dtu import conf2std
     np.testing.assert_allclose(conf2std(np.float32(1.0)),
