@@ -269,6 +269,26 @@ def grid_sample_bilinear_imggrad(img, uv, padding_mode: str = "border",
                                 str(img.dtype), align_corners)
 
 
+def exponential_pad_mult(ix, iy, H, W, pad_size, double_width, dtype):
+    """Exponential-padding multiplier at unpadded nearest indices.
+
+    Single source of truth for the replicate-pad ring math (reference
+    ``src/util/torch_helpers.py:100-160``): per-axis overhang distance
+    beyond the original canvas, exponent = max(overhang − 1, 0) with the
+    per-axis max in corners, factor ``2^(exponent/double_width)``, and zero
+    outside the ``pad_size``-padded canvas. Shared by
+    :func:`grid_sample_exponential_nearest` and the fused sampler gather
+    (``ops/sampling.py``).
+    """
+    dx = jnp.maximum(jnp.maximum(-ix, ix - (W - 1)), 0)
+    dy = jnp.maximum(jnp.maximum(-iy, iy - (H - 1)), 0)
+    exponent = jnp.maximum(
+        jnp.maximum(dx - 1, 0), jnp.maximum(dy - 1, 0)
+    ).astype(dtype)
+    in_padded = (dx <= pad_size) & (dy <= pad_size)
+    return jnp.where(in_padded, jnp.exp2(exponent / double_width), 0.0)
+
+
 def grid_sample_exponential_nearest(
     img,
     uv,
@@ -291,31 +311,18 @@ def grid_sample_exponential_nearest(
       (N, P, C); zero outside the padded canvas.
     """
     N, H, W, C = img.shape
-    p = pad_size
 
-    # grid rescale onto the padded canvas, then unnormalize there
-    sx = W / (W + 2 * p)
-    sy = H / (H + 2 * p)
-    x = _unnormalize(uv[..., 0] * sx, W + 2 * p)
-    y = _unnormalize(uv[..., 1] * sy, H + 2 * p)
+    # Rescaling the grid onto the padded canvas and rounding there equals
+    # rounding on the original canvas then shifting by the integer pad:
+    # x_padded = x_unpadded + pad_size exactly (align_corners=False), so
+    # the nearest texel is identical either way.
+    ix = jnp.round(_unnormalize(uv[..., 0], W)).astype(jnp.int32)
+    iy = jnp.round(_unnormalize(uv[..., 1], H)).astype(jnp.int32)
+    mult = exponential_pad_mult(ix, iy, H, W, pad_size, double_width,
+                                img.dtype)
 
-    jx = jnp.round(x).astype(jnp.int32)  # padded-canvas col
-    jy = jnp.round(y).astype(jnp.int32)  # padded-canvas row
-    valid = (jx >= 0) & (jx < W + 2 * p) & (jy >= 0) & (jy < H + 2 * p)
-
-    # original-canvas indices and overhang distances
-    ox = jx - p
-    oy = jy - p
-    dx = jnp.maximum(jnp.maximum(-ox, ox - (W - 1)), 0)
-    dy = jnp.maximum(jnp.maximum(-oy, oy - (H - 1)), 0)
-    exponent = jnp.maximum(
-        jnp.maximum(dx - 1, 0), jnp.maximum(dy - 1, 0)
-    ).astype(img.dtype)
-    mult = jnp.exp2(exponent / double_width)
-
-    base = _gather_pixels(img, jnp.clip(ox, 0, W - 1), jnp.clip(oy, 0, H - 1))
-    out = base * mult[..., None]
-    return jnp.where(valid[..., None], out, jnp.zeros_like(out))
+    base = _gather_pixels(img, jnp.clip(ix, 0, W - 1), jnp.clip(iy, 0, H - 1))
+    return base * mult[..., None]
 
 
 def build_pair_table(img):

@@ -39,6 +39,7 @@ from diner_tpu.geometry.transforms import (
     uv_to_ndc,
 )
 from diner_tpu.ops.grid_sample import (
+    exponential_pad_mult,
     grid_sample_nearest,
     grid_sample_exponential_nearest,
 )
@@ -139,13 +140,9 @@ def sample_view_maps_fused(views: ViewMaps, uv_ndc, pad_size: int = 100,
 
     inside = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
     # exponential-std factor: 2^((overhang-1)/double_width), zero outside
-    # the pad_size-padded canvas
-    dx = jnp.maximum(jnp.maximum(-ix, ix - (W - 1)), 0)
-    dy = jnp.maximum(jnp.maximum(-iy, iy - (H - 1)), 0)
-    exponent = jnp.maximum(jnp.maximum(dx - 1, 0),
-                           jnp.maximum(dy - 1, 0)).astype(g.dtype)
-    in_padded = (dx <= pad_size) & (dy <= pad_size)
-    std_mult = jnp.where(in_padded, jnp.exp2(exponent / double_width), 0.0)
+    # the pad_size-padded canvas (shared ring math, grid_sample.py)
+    std_mult = exponential_pad_mult(ix, iy, H, W, pad_size, double_width,
+                                    g.dtype)
 
     depth = g[..., 0:1]
     std = g[..., 1:2] * std_mult[..., None]

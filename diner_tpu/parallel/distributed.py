@@ -70,7 +70,11 @@ def initialize(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:  # idempotence fallback (see probe above)
-        if "already" not in str(e).lower():
+        # Only swallow the specific double-initialize error; anything else
+        # containing "already" (e.g. a coordinator "address already in
+        # use") must surface rather than leave distributed state silently
+        # uninitialized.
+        if "already initialized" not in str(e).lower():
             raise
 
 

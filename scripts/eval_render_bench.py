@@ -71,18 +71,16 @@ def main():
                                   n_gaussian=15, white_bkgd=False,
                                   ray_chunk=chunk)
 
-            # A/B switch: render_rays_chunked attaches the pair table via
-            # ctx.with_latent_pairs(); stub it out for the OFF arm.
-            import diner_tpu.models.scene as scene_mod
-            real = scene_mod.SceneContext.with_latent_pairs
-            if not pairs:
-                scene_mod.SceneContext.with_latent_pairs = lambda s: s
-
+            # A/B switch: the renderer no longer attaches the pair table
+            # itself (detached after losing end-to-end, renderer.py NOTE /
+            # EVAL_RENDER_r04) — the ON arm must opt in explicitly here.
             @jax.jit
             def render(variables, rays, key):
                 ctx, _ = model.apply(
                     variables, imgs, depths, stds, extr, intr,
                     train=True, method="encode", mutable=["batch_stats"])
+                if pairs:  # trace-time constant: opt-in fast path
+                    ctx = ctx.with_latent_pairs()
 
                 def field_fn(c, xyz, vd):
                     return model.apply(variables, c, xyz, vd,
@@ -110,16 +108,14 @@ def main():
             except Exception as e:  # noqa: BLE001
                 row = dict(ray_chunk=chunk, pair_table=pairs,
                            error=str(e)[:300])
-            finally:
-                scene_mod.SceneContext.with_latent_pairs = real
             rows.append(row)
             print(json.dumps(row), flush=True)
 
-    Path("EVAL_RENDER_r04.json").write_text(json.dumps(
+    Path("EVAL_RENDER_r05.json").write_text(json.dumps(
         {"workload": "512x640 target, 4x512x640 src views, 64/1000 "
                      "depth-guided samples, bf16 flagship",
          "rows": rows}, indent=2))
-    print("wrote EVAL_RENDER_r04.json")
+    print("wrote EVAL_RENDER_r05.json")
 
 
 if __name__ == "__main__":

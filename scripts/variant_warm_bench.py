@@ -179,6 +179,7 @@ def main():
     ap.add_argument("--work", default="outputs/variant_warm")
     ap.add_argument("--models", nargs="+",
                     default=["NOVEL", "NOVEL_PE", "KeypointNeRF"])
+    ap.add_argument("--out", default="VARIANT_WARM_r05.json")
     args = ap.parse_args()
     H, W = (int(x) for x in args.hw.split(","))
     work = Path(args.work).resolve()
@@ -195,10 +196,9 @@ def main():
             results["models"][m] = {"error": str(e)[:400]}
         print(json.dumps({m: results["models"][m]}), flush=True)
         # incremental write: a cut-off run still leaves partial results
-        (REPO / "VARIANT_WARM_r04.json").write_text(
-            json.dumps(results, indent=2))
+        (REPO / args.out).write_text(json.dumps(results, indent=2))
 
-    print("wrote VARIANT_WARM_r04.json", flush=True)
+    print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

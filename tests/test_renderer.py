@@ -78,8 +78,9 @@ def test_render_end_to_end():
     assert outc.rgb.shape == (SB, 64, 3)
     assert np.isfinite(np.asarray(outc.rgb)).all()
 
-    # the eval fast path (wide-row pair-table latent lookup, attached by
-    # render_rays_chunked when n_chunks > 1) must not change the render
+    # the eval fast path (wide-row pair-table latent lookup) is opt-in via
+    # ctx.with_latent_pairs() — the renderer deliberately does NOT attach
+    # it (lost end-to-end, EVAL_RENDER_r04) — and must not change the render
     outp = render_rays(field_fn, ctx.with_latent_pairs(), rays,
                        jax.random.PRNGKey(1), rcfg)
     np.testing.assert_allclose(np.asarray(outp.rgb), np.asarray(out.rgb),
