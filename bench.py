@@ -56,7 +56,7 @@ def _measure(chunk, state, batch, key, steps=STEPS, warmup=WARMUP):
     return min(times) / SCAN_STEPS
 
 
-def _bench_recipe(production: bool):
+def _bench_recipe(production: bool, pruned: bool = False):
     import jax.numpy as jnp
 
     from diner_tpu.data.synthetic import make_sphere_scene
@@ -78,7 +78,11 @@ def _bench_recipe(production: bool):
             compute_dtype="bfloat16",
         ),
         renderer=RendererConfig(n_samples=40, n_depth_candidates=1000,
-                                n_gaussian=15, white_bkgd=False),
+                                n_gaussian=15, white_bkgd=False,
+                                # two-stage sampler (4x fewer map gathers,
+                                # PSNR-parity certified — BENCH.md round 5)
+                                n_coarse_candidates=125 if pruned else 0,
+                                n_refine_bins=16),
         ray_batch_size=MSE_RAY_BATCH,
         znear=0.8,
         zfar=2.4,
@@ -203,7 +207,8 @@ def main():
     floor = 1e-3 if jax.default_backend() not in ("cpu",) else 0.0
     assert_honest_sync(min_floor_s=floor)
 
-    prod_rays, prod_dt = _bench_recipe(production=True)
+    prod_rays, prod_dt = _bench_recipe(production=True, pruned=True)
+    prod1_rays, prod1_dt = _bench_recipe(production=True, pruned=False)
     mse_rays, mse_dt = _bench_recipe(production=False)
     try:
         roof = _gather_roof_fractions()
@@ -220,7 +225,14 @@ def main():
             "unit": "rays/s",
             "vs_baseline": round(mse_rays / BASELINE_MSE_RAYS_PER_SEC, 3),
             "production_step_ms": round(prod_dt * 1e3, 2),
+            "production_onestage_rays_per_sec": round(prod1_rays, 1),
+            "production_onestage_step_ms": round(prod1_dt * 1e3, 2),
             "mse_step_ms": round(mse_dt * 1e3, 2),
+            "sampler_note": "headline uses the two-stage pruned sampler "
+                            "(n_coarse=125, M=16; 253 map gathers/ray vs "
+                            "1000 — PSNR-parity A/B in BENCH.md round 5); "
+                            "production_onestage_* is the reference "
+                            "one-stage path for continuity with r01-r04",
             "pct_gather_roof": roof,
         },
     }))

@@ -158,6 +158,7 @@ def surface_likelihood(
     z_cand,
     depth_diff_max: float = 0.05,
     deform_fn=None,
+    n_bins: int | None = None,
 ):
     """Per-candidate surface likelihood from the source-view depth maps.
 
@@ -169,12 +170,16 @@ def surface_likelihood(
       rays: (SB, NR, 8).
       views: ViewMaps.
       z_cand: (SB, NR, K) candidate z values along the rays.
+      n_bins: bin count defining the erf integration width
+        ``(far-near)/n_bins`` (reference ``nerf_renderer.py:119-123`` uses the
+        stratified step). Defaults to K — pass it when ``z_cand`` is a
+        *subset* of a finer stratified grid (pruned two-stage sampling).
 
     Returns:
       (likelihood, opaque_likelihood): both (SB, NR, K).
     """
     SB, NR, K = z_cand.shape
-    step_size = (rays[..., 7] - rays[..., 6]) / K  # (SB, NR)
+    step_size = (rays[..., 7] - rays[..., 6]) / (n_bins or K)  # (SB, NR)
 
     xyz = rays[..., None, :3] + z_cand[..., None] * rays[..., None, 3:6]
     xyz = xyz.reshape(SB, NR * K, 3)
@@ -280,6 +285,106 @@ def sample_depthguided(
     if n_gaussian > 0:
         ray_mask = jnp.any(opaque != 0, axis=-1)  # (SB, NR)
         mean, std = weighted_mean_std(z_cand, opaque, axis=-1, keepdims=True)
+        gauss = gauss_noise * std + mean  # (SB, NR, n_gaussian)
+        gauss = jnp.where(ray_mask[..., None], gauss, 0.0)
+        z_sel = jnp.concatenate([z_sel[..., :-n_gaussian], gauss], axis=-1)
+
+    return jax.lax.stop_gradient(z_sel)
+
+
+def sample_depthguided_pruned(
+    rays,
+    views: ViewMaps,
+    n_samples: int,
+    n_candidates: int,
+    n_coarse: int,
+    n_refine_bins: int,
+    u_coarse,
+    gauss_noise=None,
+    n_gaussian: int = 0,
+    depth_diff_max: float = 0.05,
+    deform_fn=None,
+):
+    """Two-stage (coarse→refine) depth-guided shortlist — gather-count cut.
+
+    Algorithmic attack on the certified sampler gather roof (BENCH.md
+    GATHER_ROOF: cost is per-*index*, locality-free): instead of scoring all
+    ``n_candidates`` stratified z per ray (reference
+    ``nerf_renderer.py:39-63`` samples the view maps at 1000 points/ray),
+    score a coarse grid of ``n_coarse`` bins first, keep the
+    ``n_refine_bins`` most likely bins, and re-score only the fine-grid
+    candidates inside them. Map gathers per ray drop from ``n_candidates``
+    to ``n_coarse + n_refine_bins * (n_candidates // n_coarse)`` (e.g.
+    1000 → 125 + 16·8 = 253, a 4× cut on the dominant sampler stage).
+
+    Correctness argument: the erf-bin masses telescope — a coarse bin's
+    likelihood equals the sum of its fine bins' masses whenever the map
+    texels sampled agree — so the top fine bins live inside the top coarse
+    bins up to texel-boundary effects. The refined fine candidates are the
+    *same* stratified grid points the one-stage sampler scores (identical
+    jitter consumption: ``u_coarse[..., ::r]`` drives the coarse pass and
+    the fine pass gathers the per-slot jitter from the same array), so with
+    spatially smooth maps the selected sets are identical
+    (test_sampling.py::test_pruned_sampler_matches_full). Near depth
+    discontinuities the shortlist may differ — this mode is opt-in
+    (``RendererConfig.n_coarse_candidates``) and certified by a PSNR-parity
+    A/B, not bit-parity.
+
+    The Gaussian fit (reference ``nerf_renderer.py:181-190``) uses the
+    coarse occlusion-aware profile: by the telescoping property its
+    weighted mean/std approximate the fine profile's to within a jitter
+    term.
+
+    Args:
+      u_coarse: (SB, NR, n_candidates) uniforms — same shape as the
+        one-stage path so callers' RNG plumbing is unchanged.
+
+    Returns:
+      (SB, NR, n_samples) z values; zero marks an empty slot (as in
+      :func:`sample_depthguided`).
+    """
+    assert n_samples >= n_gaussian
+    assert n_candidates % n_coarse == 0, (n_candidates, n_coarse)
+    r = n_candidates // n_coarse
+    assert n_refine_bins * r >= n_samples, (n_refine_bins, r, n_samples)
+    SB, NR, _ = rays.shape
+    near = rays[..., 6:7]
+    far = rays[..., 7:8]
+
+    # ---- stage A: coarse stratified scoring
+    z_coarse = stratified_z(rays, n_coarse, u_coarse[..., ::r])
+    lik_c, opaque_c = surface_likelihood(
+        rays, views, z_coarse, depth_diff_max, deform_fn)
+
+    # ---- stage B: refine the fine grid inside the top coarse bins.
+    # Radius-1 max dilation before ranking: a band-EDGE coarse bin can gate
+    # out at its single sample point (|d - z| >= depth_diff_max there) while
+    # its fine bins still carry mass; dilation ranks band-adjacent bins
+    # above far-away zero bins, which top_k would otherwise pick by index.
+    lik_sel = jnp.maximum(
+        lik_c,
+        jnp.maximum(
+            jnp.pad(lik_c[..., 1:], ((0, 0), (0, 0), (0, 1))),
+            jnp.pad(lik_c[..., :-1], ((0, 0), (0, 0), (1, 0)))))
+    _, bin_idx = jax.lax.top_k(lik_sel, n_refine_bins)  # (SB, NR, M)
+    bin_idx = jnp.sort(bin_idx, axis=-1)  # ascending z
+    fine_idx = (bin_idx[..., None] * r
+                + jnp.arange(r, dtype=bin_idx.dtype))  # (SB, NR, M, r)
+    fine_idx = fine_idx.reshape(SB, NR, -1)  # (SB, NR, M*r), ascending
+    u_fine = jnp.take_along_axis(u_coarse, fine_idx, axis=-1)
+    fine_step = (far - near) / n_candidates  # (SB, NR, 1)
+    z_fine = near + (fine_idx.astype(rays.dtype) + u_fine) * fine_step
+    lik_f, _ = surface_likelihood(
+        rays, views, z_fine, depth_diff_max, deform_fn, n_bins=n_candidates)
+
+    top_vals, top_idx = jax.lax.top_k(lik_f, n_samples)
+    z_sel = jnp.take_along_axis(z_fine, top_idx, axis=-1)
+    z_sel = jnp.where(top_vals == 0.0, 0.0, z_sel)
+
+    if n_gaussian > 0:
+        ray_mask = jnp.any(opaque_c != 0, axis=-1)  # (SB, NR)
+        mean, std = weighted_mean_std(z_coarse, opaque_c, axis=-1,
+                                      keepdims=True)
         gauss = gauss_noise * std + mean  # (SB, NR, n_gaussian)
         gauss = jnp.where(ray_mask[..., None], gauss, 0.0)
         z_sel = jnp.concatenate([z_sel[..., :-n_gaussian], gauss], axis=-1)

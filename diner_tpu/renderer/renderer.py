@@ -21,6 +21,7 @@ from diner_tpu.ops.composite import composite
 from diner_tpu.ops.sampling import (
     fill_up_uniform,
     sample_depthguided,
+    sample_depthguided_pruned,
 )
 
 
@@ -31,6 +32,13 @@ class RendererConfig:
     n_gaussian: int = 15
     white_bkgd: bool = True
     depth_diff_max: float = 0.05
+    # opt-in two-stage sampler (ops/sampling.sample_depthguided_pruned):
+    # score n_coarse_candidates coarse bins first, refine the fine grid
+    # inside the top n_refine_bins bins. 0 = reference one-stage behavior.
+    # Cuts sampler map gathers ~4x (1000 -> 125 + 16*8 = 253 indices/ray);
+    # certified by PSNR-parity A/B, not bit-parity (see BENCH.md round 5).
+    n_coarse_candidates: int = 0
+    n_refine_bins: int = 16
     # rays per chunk for full-image rendering; bounds peak memory like the
     # reference's eval_batch_size=100000 point chunks (nerf_renderer.py:28)
     ray_chunk: int = 4096
@@ -75,9 +83,15 @@ def render_rays(
     u_fill = jax.random.uniform(
         k_fill, (SB, NR, cfg.n_samples), dtype=rays.dtype)
 
-    z = sample_depthguided(
-        rays, ctx.view_maps(), cfg.n_samples, cfg.n_depth_candidates,
-        u_coarse, gauss, cfg.n_gaussian, cfg.depth_diff_max)
+    if cfg.n_coarse_candidates > 0:
+        z = sample_depthguided_pruned(
+            rays, ctx.view_maps(), cfg.n_samples, cfg.n_depth_candidates,
+            cfg.n_coarse_candidates, cfg.n_refine_bins,
+            u_coarse, gauss, cfg.n_gaussian, cfg.depth_diff_max)
+    else:
+        z = sample_depthguided(
+            rays, ctx.view_maps(), cfg.n_samples, cfg.n_depth_candidates,
+            u_coarse, gauss, cfg.n_gaussian, cfg.depth_diff_max)
     z = fill_up_uniform(z, rays, u_fill)  # (SB, NR, K) sorted
 
     K = cfg.n_samples

@@ -151,6 +151,8 @@ def build_renderer_config(rend_conf: dict) -> RendererConfig:
         white_bkgd=kw.pop("white_bkgd", True),
         depth_diff_max=kw.pop("depth_diff_max", 0.05),
         ray_chunk=kw.pop("ray_chunk", 4096),
+        n_coarse_candidates=kw.pop("n_coarse_candidates", 0),
+        n_refine_bins=kw.pop("n_refine_bins", 16),
     )
 
 

@@ -265,3 +265,91 @@ def test_stratified_z_bounds():
     z = np.asarray(stratified_z(jnp.asarray(rays), 64, jnp.asarray(u)))
     assert (z >= 1.0).all() and (z <= 3.0).all()
     assert (np.diff(z, axis=-1) > 0).all()  # jittered strata stay ordered
+
+
+# ---------------------------------------------- pruned two-stage sampler
+
+def test_pruned_sampler_matches_full():
+    """With the fixture's smooth maps the two-stage shortlist selects the
+    same z set as the one-stage sampler (telescoping erf masses put every
+    top fine bin inside a top coarse bin)."""
+    from diner_tpu.ops.sampling import sample_depthguided_pruned
+
+    rays, views, scene = _make_scene()
+    SB, NR = rays.shape[:2]
+    n_cand, n_coarse, n_bins, n_samples = 200, 25, 8, 24
+    rng = np.random.RandomState(2)
+    u = rng.rand(SB, NR, n_cand).astype(np.float32)
+
+    full = np.asarray(sample_depthguided(
+        jnp.asarray(rays), views, n_samples, n_cand, jnp.asarray(u)))
+    pruned = np.asarray(sample_depthguided_pruned(
+        jnp.asarray(rays), views, n_samples, n_cand, n_coarse, n_bins,
+        jnp.asarray(u)))
+
+    assert (full > 0).any(), "fixture produced no surface hits"
+    # the pruned path scores only 25 + 8*8 = 89 of the 200 candidates; with
+    # smooth maps the selected sets must still agree exactly (same grid
+    # points, same jitter values)
+    np.testing.assert_allclose(np.sort(pruned, -1), np.sort(full, -1),
+                               atol=1e-6)
+
+
+def test_pruned_sampler_gaussian_stats_close():
+    """The coarse-profile Gaussian fit tracks the fine-profile fit."""
+    from diner_tpu.ops.sampling import sample_depthguided_pruned
+
+    rays, views, scene = _make_scene(seed=3)
+    SB, NR = rays.shape[:2]
+    n_cand, n_coarse, n_bins, n_samples, n_gauss = 200, 25, 8, 24, 6
+    rng = np.random.RandomState(4)
+    u = rng.rand(SB, NR, n_cand).astype(np.float32)
+    gn = rng.randn(SB, NR, n_gauss).astype(np.float32)
+
+    full = np.asarray(sample_depthguided(
+        jnp.asarray(rays), views, n_samples, n_cand,
+        jnp.asarray(u), jnp.asarray(gn), n_gauss))
+    pruned = np.asarray(sample_depthguided_pruned(
+        jnp.asarray(rays), views, n_samples, n_cand, n_coarse, n_bins,
+        jnp.asarray(u), jnp.asarray(gn), n_gauss))
+
+    # non-gaussian slots identical (smooth maps), gaussian slots close: the
+    # coarse opaque profile integrates the same erf mass as the fine one up
+    # to a jitter term, so mean/std (hence the reparameterized draws) agree
+    # to a few percent of the ray range
+    np.testing.assert_allclose(
+        np.sort(pruned[..., :-n_gauss], -1),
+        np.sort(full[..., :-n_gauss], -1), atol=1e-6)
+    ray_range = float(rays[0, 0, 7] - rays[0, 0, 6])
+    both_live = (np.abs(full[..., -n_gauss:]) > 0) \
+        & (np.abs(pruned[..., -n_gauss:]) > 0)
+    assert both_live.any()
+    diff = np.abs(pruned[..., -n_gauss:] - full[..., -n_gauss:])[both_live]
+    assert diff.max() < 0.05 * ray_range, diff.max()
+
+
+def test_pruned_sampler_renderer_flag():
+    """RendererConfig.n_coarse_candidates routes render_rays through the
+    pruned sampler and produces finite output of the right shape."""
+    import jax
+    from diner_tpu.renderer import RendererConfig, render_rays
+
+    rays, views, scene = _make_scene(seed=5)
+
+    class _Ctx:
+        def view_maps(self):
+            return views
+
+    def field_fn(ctx, xyz, dirs):
+        sigma = jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype) * 3.0
+        rgb = (jnp.tanh(xyz) + 1) / 2
+        return jnp.concatenate([rgb, sigma], -1)
+
+    cfg = RendererConfig(n_samples=16, n_depth_candidates=200,
+                         n_gaussian=4, white_bkgd=False,
+                         n_coarse_candidates=25, n_refine_bins=8)
+    out = render_rays(field_fn, _Ctx(), jnp.asarray(rays),
+                      jax.random.PRNGKey(0), cfg)
+    assert out.rgb.shape == rays.shape[:2] + (3,)
+    assert np.isfinite(np.asarray(out.rgb)).all()
+    assert np.isfinite(np.asarray(out.depth)).all()
