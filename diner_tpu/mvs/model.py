@@ -59,6 +59,13 @@ class TransMVSNetConfig:
     # activations without it (the reference trains on an A100-80GB); remat
     # + bf16 fits it on a 16 GB chip at identical numerics (recompute).
     remat: bool = False
+    # selective remat (remat=True, remat_feature=False): keep FeatureNet's
+    # activations resident and remat only the plane-sweep + CostRegNet.
+    # FeatureNet's backward is ~80% of the full-res step
+    # (MVS_ROOFLINE_r04); under full remat its 2.1 s forward is re-run in
+    # backward, while its (H, W, C<=32) pyramid activations are MBs —
+    # the memory-dominant (D, H, W) sweep volumes are what remat is for.
+    remat_feature: bool = True
 
     @property
     def num_stage(self) -> int:
@@ -294,7 +301,8 @@ class TransMVSNet(nn.Module):
         if self.cfg.remat:
             # identical numerics; activations recomputed in backward
             # (train flag is static: call-arg index 2 incl. the module)
-            feature_cls = nn.remat(FeatureNet, static_argnums=(2,))
+            if self.cfg.remat_feature:
+                feature_cls = nn.remat(FeatureNet, static_argnums=(2,))
             cost_cls = nn.remat(CostRegNet, static_argnums=(2,))
         self.feature = feature_cls(self.cfg.base_channels, dtype=self.dtype)
         self.fmt_pathway = FMTWithPathway(self.cfg.base_channels,

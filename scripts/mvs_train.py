@@ -65,6 +65,12 @@ def main():
                     help="rematerialize FeatureNet / plane-sweep / 3D-UNet "
                          "activations (needed to fit the 512x640 DTU "
                          "training graph in 16 GB HBM)")
+    ap.add_argument("--remat-mode", default="full",
+                    choices=["full", "selective"],
+                    help="with --remat: 'selective' keeps FeatureNet "
+                         "activations resident (no 2.1 s re-forward of the "
+                         "step-dominant stage) and remats only the "
+                         "plane-sweep + CostRegNet volumes")
     args = ap.parse_args()
 
     if args.debug_nans:
@@ -90,7 +96,8 @@ def main():
     cfg = MVSTrainConfig(
         model=TransMVSNetConfig(ndepths=ndepths,
                                 depth_intervals_ratio=ratios,
-                                remat=args.remat),
+                                remat=args.remat,
+                                remat_feature=args.remat_mode == "full"),
         lr=args.lr,
         compute_dtype=args.dtype)
 

@@ -362,6 +362,16 @@ def test_remat_and_bf16_modes_run_and_match():
                                                 np.asarray(b), atol=1e-5),
         g0, g1)
 
+    # selective remat (FeatureNet resident, sweep+CostRegNet rematted)
+    # is also grad-identical
+    sel = TransMVSNet(cfg=TransMVSNetConfig(ndepths=(8, 8, 8), remat=True,
+                                            remat_feature=False))
+    g2 = jax.grad(lambda v: loss(sel, v))(variables)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-5),
+        g0, g2)
+
     # bf16 path runs and stays finite
     bf = TransMVSNet(cfg=TransMVSNetConfig(ndepths=(8, 8, 8), remat=True),
                      dtype=jnp.bfloat16)
