@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--outpath", default="/tmp/mvs_pred")
     ap.add_argument("--skip-write", action="store_true")
     ap.add_argument("--sweep-chunk", type=int, default=8)
+    ap.add_argument("--remat-mode", default="full",
+                    choices=["full", "selective"],
+                    help="'selective' keeps FeatureNet activations "
+                         "resident (VERDICT r4 item 5)")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +94,7 @@ def main():
         model=TransMVSNetConfig(ndepths=(48, 32, 8),
                                 depth_intervals_ratio=(4.0, 1.0, 0.5),
                                 remat=True,
+                                remat_feature=args.remat_mode == "full",
                                 sweep_chunk=args.sweep_chunk),
         compute_dtype=args.dtype)
 

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--hw", default="512,640")
     ap.add_argument("--numdepth", type=int, default=192)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--remat-mode", default="full",
+                    choices=["full", "selective"])
     args = ap.parse_args()
     H, W = (int(x) for x in args.hw.split(","))
 
@@ -45,7 +47,8 @@ def main():
     cfg = MVSTrainConfig(
         model=TransMVSNetConfig(ndepths=(48, 32, 8),
                                 depth_intervals_ratio=(4.0, 1.0, 0.5),
-                                remat=True),
+                                remat=True,
+                                remat_feature=args.remat_mode == "full"),
         compute_dtype=args.dtype)
 
     # synthetic batch with the exact training shapes (no dataset needed

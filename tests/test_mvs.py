@@ -380,6 +380,7 @@ def test_remat_and_bf16_modes_run_and_match():
     assert np.isfinite(np.asarray(outb["depth"])).all()
 
 
+@pytest.mark.slow  # 83 s — the fast tier's single biggest cost (r5 re-tier)
 def test_sweep_chunk_parity():
     """The multi-chunk plane-sweep scan (D > sweep_chunk — the production
     48/32 depth stages) must match the single-chunk path bit-for-bit;
