@@ -61,7 +61,11 @@ def probe(name, fn, *args, results=None):
     except Exception as e:  # noqa: BLE001
         row["compile_s"] = round(time.perf_counter() - t0, 1)
         row["ok"] = False
-        row["error"] = str(e)[:200]
+        # keep enough of the message to include the relay's chipless AOT
+        # fallback report — it carries the REAL failure (e.g. the HBM OOM
+        # allocation table behind an opaque HTTP 500; see
+        # MVS_SELECTIVE_REMAT_r05.json)
+        row["error"] = str(e)[:6000]
     results.append(row)
     print(json.dumps(row), flush=True)
     return row

@@ -84,6 +84,10 @@ def bench_model(model_name, work, H, W, steps, dtype):
             times.append(time.perf_counter() - t0)
         out["warm_s_per_step"] = round(min(times), 3)
         out["warm_s_per_step_mean"] = round(sum(times) / len(times), 3)
+        # full distribution: r4's 0.475 min vs 138 mean was a single relay
+        # stall (batch shapes are identical across steps — verified; no
+        # recompile is possible), and the list makes that self-evident
+        out["warm_step_times_s"] = [round(t, 3) for t in times]
 
         def render(b, k):
             color, depth = render_full_image(
@@ -127,6 +131,7 @@ def bench_model(model_name, work, H, W, steps, dtype):
             times.append(time.perf_counter() - t0)
         out["warm_s_per_step"] = round(min(times), 3)
         out["warm_s_per_step_mean"] = round(sum(times) / len(times), 3)
+        out["warm_step_times_s"] = [round(t, 3) for t in times]
 
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
