@@ -255,3 +255,29 @@ def test_pix_loss_matches_reference():
     loss = loss[:, : int(loss.shape[1] * 0.25)]
     np.testing.assert_allclose(float(ours["l1top25"]), float(loss.mean()),
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_render_full_image_tile_grouping_parity():
+    """Grouping strided tiles into one jitted call (and hoisting the
+    encoders out of the tile loop) must not change the rendered image —
+    eval consumes no per-ray randomness."""
+    from diner_tpu.models.keypointnerf.train import render_full_image
+
+    batch = _toy_batch()
+    cfg = _tiny_cfg()
+    model, state, tx = create_keypointnerf_state(
+        cfg, jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(7)
+    # level=2 -> stride 2 -> 4 tiles
+    c1, d1 = render_full_image(model, cfg.model, state["params"], batch,
+                               key, level=2, tiles_per_call=1)
+    c4, d4 = render_full_image(model, cfg.model, state["params"], batch,
+                               key, level=2, tiles_per_call=4)
+    np.testing.assert_allclose(c4, c1, atol=1e-5)
+    np.testing.assert_allclose(d4, d1, atol=1e-5)
+    assert np.isfinite(c1).all()
+    # a group size that does not divide the tile count falls back cleanly
+    c3, _ = render_full_image(model, cfg.model, state["params"], batch,
+                              key, level=2, tiles_per_call=3)
+    np.testing.assert_allclose(c3, c1, atol=1e-5)
