@@ -65,11 +65,19 @@ def main():
                     ).reshape(SB, H * W, 8)
 
     rows = []
-    for chunk in (4096, 8192, 16384):
-        for pairs in (False, True):
+    # r5 matrix: pruned two-stage sampler ON/OFF across the chunk sweep
+    # (the r4 pair-table arm lost end-to-end and stays a single continuity
+    # row at chunk 4096); chunk 16384 re-probed with full error capture —
+    # its r4 HTTP 500 should now surface the AOT fallback's real report.
+    arms = [(4096, False, False), (4096, False, True),
+            (8192, False, False), (8192, False, True),
+            (16384, False, True), (4096, True, False)]
+    for chunk, pairs, pruned in arms:
             rcfg = RendererConfig(n_samples=64, n_depth_candidates=1000,
                                   n_gaussian=15, white_bkgd=False,
-                                  ray_chunk=chunk)
+                                  ray_chunk=chunk,
+                                  n_coarse_candidates=125 if pruned else 0,
+                                  n_refine_bins=16)
 
             # A/B switch: the renderer no longer attaches the pair table
             # itself (detached after losing end-to-end, renderer.py NOTE /
@@ -102,12 +110,15 @@ def main():
                     times.append(time.perf_counter() - t0)
                 warm = min(times)
                 row = dict(ray_chunk=chunk, pair_table=pairs,
+                           pruned_sampler=pruned,
                            warm_s_per_image=round(warm, 3),
                            rays_per_s=round(H * W / warm),
                            compile_incl_s=round(t_compile, 1))
             except Exception as e:  # noqa: BLE001
+                # keep the AOT-fallback tail: the real failure behind an
+                # HTTP 500 lives deep in the message
                 row = dict(ray_chunk=chunk, pair_table=pairs,
-                           error=str(e)[:300])
+                           pruned_sampler=pruned, error=str(e)[:6000])
             rows.append(row)
             print(json.dumps(row), flush=True)
 
