@@ -137,6 +137,16 @@ class DTUDataset:
     def depth_name(self, cam_id: int) -> str:
         return f"depth_map_{cam_id:04d}_{self.depth_fname}.png"
 
+    def sample_name_of(self, idx: int) -> str:
+        """The sample's prediction-folder stem WITHOUT loading images.
+
+        Names follow the reference ("{scan}-{cam}", dtu.py:231) and do NOT
+        include the light index, so metas collide across the 7 lights —
+        used by the eval subset sampler to dedupe (train/loop.py)."""
+        meta = self.metas[idx]
+        scan = self.scan_list[meta["scan_idx"]]
+        return f"{scan}-{int(self.cam_dict['ids'][meta['cam_idx']])}"
+
     def __getitem__(self, idx: int) -> Dict:
         meta = self.metas[idx]
         scan = self.scan_list[meta["scan_idx"]]

@@ -34,6 +34,39 @@ from diner_tpu.losses import init_vgg19_params
 from diner_tpu.utils.visual import colorize, save_image, save_video
 
 
+def select_eval_indices(dataset, n: int):
+    """Deterministic eval subset — the reference's Random(0) protocol
+    (``create_prediction_folder.py:37-40``) extended to dedupe sample-NAME
+    collisions.
+
+    DTU metas span 7 lights per (scan, cam) while sample_name is
+    "{scan}-{cam}" (reference ``dtu.py:231`` — ours matches), so colliding
+    draws silently overwrite prediction files and score FEWER images than
+    requested (reference behavior: last-write-wins). The first n draws are
+    the reference's exact subset; collisions are dropped (first-come wins)
+    and replaced from a deterministic continuation of the same RNG until n
+    unique names are selected or the dataset is exhausted."""
+    idcs = list(range(len(dataset)))
+    if not 0 < n < len(idcs):
+        return idcs
+    import random
+    rng = random.Random(0)
+    first = rng.sample(idcs, n)  # the reference's exact subset
+    topup = rng.sample(idcs, len(idcs))  # deterministic extension
+    name_of = getattr(dataset, "sample_name_of", None)
+    seen_names, seen_idx, picked = set(), set(), []
+    for i in first + topup:
+        name = name_of(i) if name_of else i
+        if i in seen_idx or name in seen_names:
+            continue
+        seen_idx.add(i)
+        seen_names.add(name)
+        picked.append(i)
+        if len(picked) == n:
+            break
+    return picked
+
+
 class MetricLogger:
     """TensorBoard events (when available) + always a JSONL stream."""
 
@@ -219,10 +252,7 @@ class Trainer:
         os.makedirs(outdir, exist_ok=True)
         dataset = dataset or self.val_set
         n = n_samples if n_samples is not None else self.cfg.n_samples_score_eval
-        idcs = list(range(len(dataset)))
-        if 0 < n < len(idcs):
-            import random
-            idcs = random.Random(0).sample(idcs, n)
+        idcs = select_eval_indices(dataset, n)
         loader = DataLoader(dataset, batch_size=1, num_workers=self.num_workers,
                             sample_indices=idcs)
         for batch in loader:

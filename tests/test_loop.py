@@ -89,3 +89,42 @@ def test_validation_artifacts(tmp_path):
         assert json.load(f)["psnr"] > 0
     sweeps = list((eval_dir / "cam_sweeps").glob("*"))
     assert sweeps  # video (mp4 or gif fallback) + ref image
+
+
+def test_select_eval_indices_dedupes_name_collisions():
+    """The Random(0) subset protocol must score n UNIQUE sample names even
+    when metas collide across DTU's 7 lights (reference last-write-wins
+    quirk, dtu.py:231 / create_prediction_folder.py:37-40)."""
+    import random
+    from diner_tpu.train.loop import select_eval_indices
+
+    class FakeDTU:
+        def __len__(self):
+            return 70  # 10 names x 7 lights
+
+        def sample_name_of(self, i):
+            return f"scan1-{i % 10}"
+
+    ds = FakeDTU()
+    picked = select_eval_indices(ds, 8)
+    names = [ds.sample_name_of(i) for i in picked]
+    assert len(picked) == 8
+    assert len(set(names)) == 8
+    # the reference's exact draw is a prefix filter: every picked index
+    # either IS in Random(0).sample or replaces a name collision from it
+    first = random.Random(0).sample(list(range(70)), 8)
+    kept_from_first = [i for i in first if i in picked]
+    seen = set()
+    expect = [i for i in first
+              if not (ds.sample_name_of(i) in seen
+                      or seen.add(ds.sample_name_of(i)))]
+    assert kept_from_first == expect
+    # more names requested than exist -> all 10, no dupes, no hang
+    picked_all = select_eval_indices(ds, 50)
+    assert sorted({ds.sample_name_of(i) for i in picked_all}) == sorted(
+        {f"scan1-{k}" for k in range(10)})
+    # datasets without sample_name_of keep plain index dedupe
+    class Plain:
+        def __len__(self):
+            return 20
+    assert len(select_eval_indices(Plain(), 5)) == 5
