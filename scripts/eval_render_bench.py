@@ -70,7 +70,6 @@ def main():
     # row at chunk 4096); chunk 16384 re-probed with full error capture —
     # its r4 HTTP 500 should now surface the AOT fallback's real report.
     arms = [(4096, False, False), (4096, False, True),
-            (8192, False, False), (8192, False, True),
             (16384, False, True), (4096, True, False)]
     for chunk, pairs, pruned in arms:
             rcfg = RendererConfig(n_samples=64, n_depth_candidates=1000,
