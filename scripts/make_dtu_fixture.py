@@ -88,13 +88,18 @@ def render_view(K_hr, E, H, W, p):
     camera grid ever gains rotations, compute cam-space z explicitly as
     ``(R @ p + t)[2]``."""
     R, t = E[:3, :3], E[:3, 3]
-    cam_origin = -R.T @ t  # camera center in world
-    u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    cam_origin = (-R.T @ t).astype(np.float32)  # camera center in world
+    R = R.astype(np.float32)
+    # float32 throughout: the transcendental-heavy march is ~2x faster and
+    # mm-scale depths (~600) lose nothing that matters to a synthetic scan
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32) + 0.5,
+                       np.arange(H, dtype=np.float32) + 0.5)
+    K_hr = K_hr.astype(np.float32)
     d_cam = np.stack([(u - K_hr[0, 2]) / K_hr[0, 0],
                       (v - K_hr[1, 2]) / K_hr[1, 1],
                       np.ones_like(u)], -1)
     d_world = d_cam @ R  # == R.T @ d_cam per-pixel
-    z = np.full((H, W), p["z0"])
+    z = np.full((H, W), p["z0"], np.float32)
     for _ in range(4):
         # cam-space depth z == t_ray * d_cam_z (d_cam_z = 1 by construction)
         pt = cam_origin + d_world * z[..., None]
@@ -120,6 +125,10 @@ def write_scan(root: Path, scan: str, scan_idx: int, lights: int,
 
     p = scan_params(scan_idx)
     for i in range(49):
+        # resume guard: the pfm is the last artifact written per cam, so
+        # its presence means this cam's images are already complete
+        if (root / "Depths" / scan / f"depth_map_{i:04d}.pfm").exists():
+            continue
         E = make_camera(i)
         rgb, depth = render_view(K_hr, E, H, W, p)
         img0 = root / "Rectified" / f"{scan}_train" / \
@@ -128,10 +137,14 @@ def write_scan(root: Path, scan: str, scan_idx: int, lights: int,
             for light in range(lights):
                 out = (np.clip(rgb * LIGHT_GAINS[light], 0, 1)
                        * 255).astype(np.uint8)
+                # compress_level=1: these are throwaway synthetic renders;
+                # encode speed dominates fixture build time at 7 lights
                 Image.fromarray(out).save(
-                    img0.with_name(f"rect_{i + 1:03d}_{light}_r5000.png"))
+                    img0.with_name(f"rect_{i + 1:03d}_{light}_r5000.png"),
+                    compress_level=1)
         else:
-            Image.fromarray((rgb * 255).astype(np.uint8)).save(img0)
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                img0, compress_level=1)
             for light in range(1, lights):
                 dst = img0.with_name(f"rect_{i + 1:03d}_{light}_r5000.png")
                 if not dst.exists():
